@@ -1,0 +1,66 @@
+"""Parquet loaders for the synthetic star schema (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table under an sf dir.
+
+Scans stay declarative (``spark.read.parquet``) so Catalyst performs
+predicate pushdown / column pruning into the parquet reader; never collect
+or pre-materialize here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables small enough to broadcast at any realistic scale factor.
+BROADCASTABLE = {"region", "nation", "supplier", "customer", "part"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) on disk, surfaced as a long by
+        # spark.sql.legacy.parquet.nanosAsLong (session.py).  Expose both:
+        # - ts:    µs-precision TimestampType (Spark's native maximum)
+        # - ts_ns: the exact nanosecond epoch for lossless comparisons
+        from pyspark.sql import functions as F
+
+        df = df.select(
+            "event_id",
+            F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")).alias("ts"),
+            F.col("ts").alias("ts_ns"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL surface."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

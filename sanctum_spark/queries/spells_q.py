@@ -1,0 +1,91 @@
+"""Spell-runtime queries: the reference's event semantics run distributed
+(mapInPandas) and checked against a SQL oracle.
+
+q80 proves the O5 per-event transform (1 → 0..1 rows, topic-routed with
+null semantics); q81 proves the O7 feedback loop (loop-until-nil, bound
+1000) as a single-pass per-event iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sanctum_spark.io import load_table
+from sanctum_spark.queries import register
+from sanctum_spark.spells import Spell, apply_spell, loop_spell
+
+
+def _boost_cast(event: dict) -> dict | None:
+    # per-event transform: drop low-value events (None == "return nil"),
+    # emit a new event shape otherwise (reference O5: src/main.zig:272-306).
+    if event["value"] < 50:
+        return None
+    return {
+        "event_id": event["event_id"],
+        "user_id": event["user_id"],
+        "boosted_value": round(event["value"] * 2, 2),
+    }
+
+
+@register(
+    "q80_spell_cast",
+    """
+    SELECT event_id, user_id, ROUND(value * 2, 2) AS boosted_value
+    FROM events
+    WHERE (event_type IS NULL OR event_type = 'purchase')
+      AND value >= 50
+    """,
+    doc="distributed spell cast: topic-routed, 0..1 rows per event.",
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    spell = Spell(name="boost", cast=_boost_cast, topic="purchase")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("boosted_value", T.DoubleType()),
+        ]
+    )
+    return apply_spell(ev, spell, schema, topic_col="event_type")
+
+
+def _decrement_cast(event: dict) -> dict | None:
+    # the decrement-counter spell of the reference test suite
+    # (src/tests/test-suite/decrement-counter/spell.lua), payload-only.
+    if event["counter"] <= 1:
+        return None
+    out = dict(event)
+    out["counter"] = out["counter"] - 1
+    return out
+
+
+@register(
+    "q81_spell_loop",
+    """
+    SELECT event_id,
+           CAST(LEAST(GREATEST(CAST(json_extract_string(props, '$.k') AS BIGINT), 1),
+                      1000) AS BIGINT) AS n_casts
+    FROM events
+    """,
+    doc=(
+        "feedback loop (reference O7, bound 1000) run per-event inside one "
+        "mapInPandas pass; n_casts == closed form LEAST(GREATEST(k,1),1000)."
+    ),
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("counter")
+    )
+    spell = Spell(name="decrement", cast=_decrement_cast)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("n_casts", T.LongType()),
+        ]
+    )
+    return loop_spell(ev, spell, schema)

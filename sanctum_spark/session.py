@@ -1,0 +1,56 @@
+"""SparkSession factory.
+
+Local-mode settings mirror the harness (local[$SPARK_GRAFT_CPUS], single
+JVM).  The config block is written so the same code is cluster-ready: AQE,
+adaptive coalescing and skew-join handling are on, shuffle partitions track
+core count locally but should be raised (or left to AQE) on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "sanctum_spark", extra_conf: dict | None = None) -> SparkSession:
+    """Build (or fetch) the SparkSession.
+
+    Design notes for 100 TB scale:
+    - AQE enabled: runtime partition coalescing + skew-join splitting replace
+      hand-tuned shuffle partition counts per stage.
+    - ``spark.sql.shuffle.partitions`` is only the AQE *initial* value; on a
+      1000-executor cluster this should be ~2-4x total cores — here it tracks
+      local cores so local runs don't schedule 200 empty tasks.
+    - Arrow enabled so every pandas-UDF boundary is columnar-batched.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.parquet stores TIMESTAMP(NANOS); Spark's reader
+        # rejects it unless nanos are surfaced as long (io.py re-derives a
+        # µs timestamp + exact ts_ns column from it).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,99 @@
+"""Spell registration and routing.
+
+A spell is either a bare callable (becomes ``cast``) or a mapping with:
+- ``cast``       required per-event function: ``cast(event) -> event | None``
+- ``topic``      optional string; routes which events reach the spell
+- ``prepare``    optional lifecycle hook (runs once per partition task
+                 before the first event — reference roadmap
+                 docunomicon/README.md:30-48)
+- ``unprepare``  optional teardown hook (after the last event)
+
+Validation reproduces the reference's three registration error classes
+exactly (reference: src/main.zig:238-264); topic matching reproduces the
+null semantics the reference *implements* (code wins over its docs):
+a spell with no topic matches every event AND an event with no topic
+matches every spell (src/main.zig:169-210).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from sanctum_spark.spells.errors import (
+    SpellCastNotCallableError,
+    SpellMissingCastError,
+    SpellNotATableError,
+    SpellTopicTypeError,
+)
+
+
+@dataclass
+class Spell:
+    name: str
+    cast: Callable
+    topic: str | None = None
+    prepare: Callable | None = None
+    unprepare: Callable | None = None
+    source: str | None = None
+    config: dict = field(default_factory=dict)
+
+
+def validate_spell(obj: object, name: str = "spell", source: str | None = None) -> Spell:
+    """Registration-time validation, error classes per the reference.
+
+    Order matters: not-a-table wins, then missing-cast, then
+    cast-not-callable (reference: src/main.zig:238-264).
+    """
+    if callable(obj) and not isinstance(obj, Mapping):
+        return Spell(name=name, cast=obj, source=source)
+    if not isinstance(obj, Mapping):
+        raise SpellNotATableError(obj, source)
+    if "cast" not in obj:
+        raise SpellMissingCastError(source)
+    cast = obj["cast"]
+    if not callable(cast):
+        raise SpellCastNotCallableError(cast, source)
+    topic = obj.get("topic")
+    if topic is not None and not isinstance(topic, str):
+        raise SpellTopicTypeError("spell", topic, source)
+    prepare = obj.get("prepare")
+    unprepare = obj.get("unprepare")
+    return Spell(
+        name=name,
+        cast=cast,
+        topic=topic,
+        prepare=prepare if callable(prepare) else None,
+        unprepare=unprepare if callable(unprepare) else None,
+        source=source,
+    )
+
+
+def matches_topic(spell_topic: str | None, event_topic: object) -> bool:
+    """Null-tolerant equality (reference: src/main.zig:169-210).
+
+    - spell has no topic  → matches every event (src/main.zig:173-177)
+    - event has no topic  → matches every spell (src/main.zig:192-196)
+    - non-string topic on either side → fatal (src/main.zig:179-183, 198-202)
+    """
+    if spell_topic is None:
+        return True
+    if not isinstance(spell_topic, str):
+        raise SpellTopicTypeError("spell", spell_topic)
+    if event_topic is None:
+        return True
+    if not isinstance(event_topic, str):
+        raise SpellTopicTypeError("event", event_topic)
+    return spell_topic == event_topic
+
+
+def topic_filter(spell: Spell, topic_col: str | Column = "topic") -> Column:
+    """The same routing predicate as a Catalyst expression (pushed down to
+    the scan when applied before the cast)."""
+    col = F.col(topic_col) if isinstance(topic_col, str) else topic_col
+    if spell.topic is None:
+        return F.lit(True)
+    return col.isNull() | (col == F.lit(spell.topic))

@@ -1,0 +1,178 @@
+"""Spell execution: the simulate path (golden parity) and the distributed
+mapInPandas path.
+
+Reference execution trace being reproduced (src/main.zig:127-166):
+spell eval → validate → seed eval → topic route → msgpack round trip →
+loop{ protected cast → nil? stop → round trip } bounded at 1000.
+"""
+
+from __future__ import annotations
+
+import base64
+import contextlib
+import io as _io
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
+
+from sanctum_spark.codec import roundtrip, pack
+from sanctum_spark.spells.errors import RUNAWAY_LOOP_BOUND, SpellNotATableError
+from sanctum_spark.spells.registry import Spell, matches_topic, topic_filter, validate_spell
+
+TOPIC_KEY = "$topic"  # reference: src/main.zig:189
+
+
+def dump_event_url(event: dict) -> str:
+    """Debug event sink: msgpack → base64 inspection URL
+    (reference: dumpEvent, src/main.zig:226-236)."""
+    b64 = base64.b64encode(pack(event)).decode("ascii")
+    return f"https://msgpack.dbrgn.ch/#base64={b64}"
+
+
+@dataclass
+class SimulationResult:
+    lines: list[str] = field(default_factory=list)
+    events: list[dict] = field(default_factory=list)  # post-roundtrip event states
+    dumps: list[str] = field(default_factory=list)
+    casts: int = 0
+    exit_code: int = 0
+
+
+def simulate(
+    spell_obj: object,
+    seed: dict,
+    name: str = "spell",
+    source: str | None = None,
+    dump_events: bool = False,
+    max_casts: int = RUNAWAY_LOOP_BOUND,
+) -> SimulationResult:
+    """Single-seed driver-side event loop — byte-level parity with the
+    reference CLI including the msgpack round trip between casts.
+
+    Raises ``SpellError`` subclasses (exit code 1) exactly where the
+    reference exits 1; a topic mismatch is a silent no-op with exit 0
+    (reference: src/main.zig:147-150, test topic-singular-filtering).
+    """
+    spell = validate_spell(spell_obj, name=name, source=source)
+    result = SimulationResult()
+    if not isinstance(seed, dict):
+        raise SpellNotATableError(seed, source)
+    if not matches_topic(spell.topic, seed.get(TOPIC_KEY)):
+        return result
+
+    if spell.prepare is not None:
+        spell.prepare(spell.config)
+    event = roundtrip(seed)
+    if dump_events:
+        result.dumps.append(dump_event_url(event))
+    result.events.append(event)
+
+    stdout = _io.StringIO()
+    try:
+        while result.casts < max_casts:
+            with contextlib.redirect_stdout(stdout):
+                out = spell.cast(event)
+            result.casts += 1
+            if out is None:
+                break
+            if not isinstance(out, dict):
+                raise SpellNotATableError(out, source)
+            event = roundtrip(out)
+            if dump_events:
+                result.dumps.append(dump_event_url(event))
+            result.events.append(event)
+    finally:
+        if spell.unprepare is not None:
+            spell.unprepare()
+
+    text = stdout.getvalue()
+    result.lines = text.split("\n")[:-1] if text else []
+    return result
+
+
+def _rows_to_pdf(rows: list[dict], names: list[str]) -> pd.DataFrame:
+    return pd.DataFrame({n: [r.get(n) for r in rows] for n in names})
+
+
+def apply_spell(
+    df: DataFrame,
+    spell: Spell | object,
+    output_schema: StructType,
+    topic_col: str | None = None,
+    mode: str = "cast",
+    max_casts: int = RUNAWAY_LOOP_BOUND,
+) -> DataFrame:
+    """Distributed spell application over a DataFrame, one row = one event.
+
+    - ``mode='cast'``: single invocation per event, 0..1 output rows
+      (reference O5 semantics — a None return drops the event).
+    - ``mode='loop'``: the feedback loop (reference O7) runs *inside* the
+      task per event — casts feed back until None or the 1000 bound; the
+      final event state plus an ``n_casts`` column is emitted.  At 100 TB
+      this is a single pass over the data instead of up-to-1000 chained
+      jobs; it is correct because each event's feedback chain is
+      independent (the reference processes exactly one seed per run).
+
+    ``prepare``/``unprepare`` lifecycle hooks run once per partition task
+    around the Arrow batch iterator (the Spark-idiomatic reading of the
+    reference's once-per-process hooks, docunomicon/README.md:30-48).
+
+    The Arrow JVM⇄Python boundary enforces "events are data-only" the same
+    way the reference's msgpack round trip does (SURVEY.md §1.2): only
+    schema-typed values survive into the output DataFrame.
+    """
+    if not isinstance(spell, Spell):
+        spell = validate_spell(spell)
+    if topic_col is not None:
+        df = df.filter(topic_filter(spell, topic_col))
+
+    cast = spell.cast
+    prepare = spell.prepare
+    unprepare = spell.unprepare
+    config = dict(spell.config)
+    names = [f.name for f in output_schema.fields]
+    loop_mode = mode == "loop"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if prepare is not None:
+            prepare(config)
+        try:
+            for pdf in batches:
+                rows_out: list[dict] = []
+                for row in pdf.to_dict("records"):
+                    if loop_mode:
+                        event, n = row, 0
+                        while n < max_casts:
+                            out = cast(event)
+                            n += 1
+                            if out is None:
+                                break
+                            event = out
+                        event = dict(event)
+                        event["n_casts"] = n
+                        rows_out.append(event)
+                    else:
+                        out = cast(row)
+                        if out is not None:
+                            rows_out.append(out)
+                yield _rows_to_pdf(rows_out, names)
+        finally:
+            if unprepare is not None:
+                unprepare()
+
+    return df.mapInPandas(run, schema=output_schema)
+
+
+def loop_spell(
+    df: DataFrame,
+    spell: Spell | object,
+    output_schema: StructType,
+    topic_col: str | None = None,
+    max_casts: int = RUNAWAY_LOOP_BOUND,
+) -> DataFrame:
+    return apply_spell(
+        df, spell, output_schema, topic_col=topic_col, mode="loop", max_casts=max_casts
+    )
