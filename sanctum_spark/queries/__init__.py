@@ -50,6 +50,7 @@ def load_all_modules() -> None:
     """Import every query module so registration side effects run."""
     from sanctum_spark.queries import (  # noqa: F401
         relational,
+        relational2,
         events_q,
         llm_q,
         spells_q,
