@@ -1,0 +1,281 @@
+"""Deduplication operators for LLM-scale corpora.
+
+Design for 100 TB:
+- exact:   one shuffle on a content digest; never moves the text twice
+  (digest computed map-side, AQE coalesces the agg).
+- MinHash: signatures are computed scan-side from token shingles with
+  JVM-built-ins only (no Python in the hot path); the LSH band join
+  shuffles only (band_key, doc_id) pairs — hot buckets are bounded by
+  banding and AQE skew-join handles residual skew.
+- verification of candidate pairs re-computes exact Jaccard only on the
+  candidates (tiny relative to the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact dedup groups: digest → copies + keeper (lowest id).
+
+    Returns one row per distinct content with ``n_copies`` and
+    ``keeper_<id_col>``.
+    """
+    return (
+        df.withColumn("digest", F.md5(F.col(content_col)))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias(f"keeper_{id_col}"),
+        )
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep only the lowest-id row per distinct content. One shuffle on the
+    digest; the winning row is chosen with a min_by-style struct-min so the
+    full rows never join back against the corpus."""
+    digest = F.md5(F.col(content_col))
+    pick = F.struct(
+        F.col(id_col).alias("_k"),
+        F.struct(*[F.col(c) for c in df.columns]).alias("_row"),
+    )
+    return (
+        df.withColumn("_digest", digest)
+        .withColumn("_pick", pick)
+        .groupBy("_digest")
+        .agg(F.min("_pick").alias("_pick"))
+        .select("_pick._row.*")
+    )
+
+
+def shingle_tokens(text_col: str | Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of a text column (JVM-side only)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.lower(col), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature as an array<long>: for seed s, min over shingles of
+    xxhash64(shingle, s).  Entirely JVM-side (codegen'd xxhash64)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda sh: F.xxhash64(sh, F.lit(s))))
+            for s in range(n_hashes)
+        ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, shingles, sig) per document."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        shingle_tokens(text_col, shingle_k).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:
+    """Band the signatures and self-join on (band_id, band_key).
+
+    Returns distinct (id_a, id_b) with id_a < id_b plus the positional
+    signature-agreement estimate ``est_jaccard``.  Only
+    (band_key, id, sig) rows shuffle — never the text.
+    """
+    # rows per band derived from the signature length at plan time
+    sig_len_expr = F.size("sig")
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                "sig",
+                                b * (sig_len_expr / bands).cast("int") + 1,
+                                (sig_len_expr / bands).cast("int"),
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_id", "band_key"),
+    ).select("id", "sig", "band_id", "band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    return pairs.withColumn(
+        "est_jaccard", agree / F.size("sig_a").cast("double")
+    ).select("id_a", "id_b", "est_jaccard")
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle → sign → band → candidate pairs →
+    exact-Jaccard verification on candidates only.
+
+    Returns (id_a, id_b, est_jaccard, jaccard) for pairs with exact
+    Jaccard ≥ threshold.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, bands)
+    sh = sigs.select(F.col("id"), F.col("shingles"))
+    withsets = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        withsets.withColumn("jaccard", inter / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard over ALL pairs sharing ≥1 shingle (no LSH).
+
+    Exact but quadratic in the worst case — the scale path is
+    ``minhash_near_duplicates``; this is the ground-truth operator used to
+    validate it (and fine for moderate corpora after an exact-dedup pass).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingle_tokens(text_col, shingle_k).alias("shingles")
+    )
+    exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document, JVM-side.
+
+    Each token votes ±1 on every bit of xxhash64(token); the fingerprint
+    takes the sign of each bit-sum.  Expressed as an explode + groupBy so
+    the whole thing is one shuffle on the doc id with map-side partial
+    aggregation — no Python in the path.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    summed = toks.groupBy("id").agg(*votes)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return summed.select("id", fp.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation blocks on 4 x 16-bit chunks (pigeonhole: any pair
+    within Hamming ≤3 of 64 bits agrees on ≥1 chunk), so the join is an
+    equi-join on chunk value — no quadratic scan.
+    """
+    fps = simhash(df, text_col, id_col)
+    chunks = fps.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+- ``cosine_topk``   — brute-force exact top-k against one query vector.
+  Scan-side dot products (JVM codegen via zip_with/aggregate), reduced
+  with TakeOrdered: no shuffle of the corpus, no similarity matrix.
+- ``RandomHyperplaneLSH`` — the scale path: sign-of-projection bucket
+  keys; search touches only the query's bucket (multi-probe widens
+  recall).  Planes are generated from a fixed seed so bucketing is
+  deterministic and reproducible across runs/clusters.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    vec = _as_double(vec_col)
+    sim = cosine_similarity(vec, q)
+    return (
+        df.select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+class RandomHyperplaneLSH:
+    """Sign-random-projection LSH for cosine similarity.
+
+    ``n_planes`` hyperplanes → 2^n_planes buckets; expected collision
+    probability for vectors at angle θ is (1 - θ/π)^n_planes.  Buckets are
+    computed scan-side; a top-k search is a bucket lookup + local sort.
+    """
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 42):
+        rng = random.Random(seed)
+        self.dim = dim
+        self.n_planes = n_planes
+        # deterministic unit-free gaussian planes
+        self.planes = [
+            [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+        ]
+
+    def _bucket_expr(self, vec: Column) -> Column:
+        bucket = F.lit(0).cast("long")
+        for i, plane in enumerate(self.planes):
+            p = F.array(*[F.lit(float(x)) for x in plane])
+            bit = F.when(_dot(vec, p) >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            bucket = bucket + F.shiftleft(bit, i)
+        return bucket
+
+    def bucketize(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        """Add a ``bucket`` column; at scale, write out partitioned/bucketed
+        by this column so searches are partition-pruned scans."""
+        return df.withColumn("bucket", self._bucket_expr(_as_double(vec_col)))
+
+    def query_bucket(self, query_vec: list[float]) -> int:
+        b = 0
+        for i, plane in enumerate(self.planes):
+            d = sum(float(x) * p for x, p in zip(query_vec, plane))
+            if d >= 0:
+                b += 1 << i
+        return b
+
+    def probe_buckets(self, query_vec: list[float], n_probes: int = 1) -> list[int]:
+        """Multi-probe: the query's bucket plus single-bit flips of the
+        planes with the smallest |projection| (most likely sign errors)."""
+        base = self.query_bucket(query_vec)
+        if n_probes <= 1:
+            return [base]
+        margins = []
+        for i, plane in enumerate(self.planes):
+            d = sum(float(x) * p for x, p in zip(query_vec, plane))
+            margins.append((abs(d), i))
+        margins.sort()
+        out = [base]
+        for _, i in margins[: n_probes - 1]:
+            out.append(base ^ (1 << i))
+        return out
+
+    def topk(
+        self,
+        bucketized: DataFrame,
+        query_vec: list[float],
+        k: int = 10,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        n_probes: int = 4,
+    ) -> DataFrame:
+        """ANN top-k: restrict to probed buckets, exact cosine inside."""
+        buckets = self.probe_buckets(query_vec, n_probes)
+        cand = bucketized.filter(F.col("bucket").isin(buckets))
+        return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def cosine_self_join_topk(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    lsh: RandomHyperplaneLSH | None = None,
+) -> DataFrame:
+    """Per-vector k nearest neighbors within one table.
+
+    With ``lsh`` given, pairs are generated per bucket (the 100 TB path);
+    otherwise a full cross pair join (test scale only).
+    """
+    from pyspark.sql.window import Window as W
+
+    if lsh is not None:
+        b = lsh.bucketize(df, vec_col).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "bucket"
+        )
+        a1, a2 = b.alias("a"), b.alias("b")
+        pairs = a1.join(
+            a2,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id")),
+        )
+    else:
+        b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        a1, a2 = b.alias("a"), b.alias("b")
+        pairs = a1.crossJoin(a2).filter(F.col("a.id") != F.col("b.id"))
+    sim = cosine_similarity(_as_double(F.col("a.vec")), _as_double(F.col("b.vec")))
+    w = W.partitionBy("id").orderBy(F.col("cos_sim").desc(), F.col("neighbor"))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id"), F.col("b.id").alias("neighbor"), sim.alias("cos_sim")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -54,6 +54,7 @@ def load_all_modules() -> None:
         events_q,
         llm_q,
         spells_q,
+        ops_q,
     )
 
 

@@ -1,0 +1,158 @@
+"""Operator-library queries: near-dup dedup, ANN similarity, text
+profiling, multimodal plumbing.
+
+Oracle-checkable ones carry SQL; pipelines built on xxhash64/LSH are
+engine-specific and registered rows-only (the driver records the weaker
+check; determinism is asserted in tests/test_operators.py instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sanctum_spark.io import load_table
+from sanctum_spark.operators import dedup as D
+from sanctum_spark.operators import multimodal as M
+from sanctum_spark.operators import similarity as S
+from sanctum_spark.operators import text as TX
+from sanctum_spark.queries import register
+
+
+@register(
+    "q74_minhash_lsh_pairs",
+    None,
+    doc=(
+        "MinHash-LSH near-duplicate pairs over documents (16 hashes, 4 "
+        "bands, 3-shingles, exact-Jaccard-verified ≥0.5). xxhash64-based — "
+        "rows-only for the driver; determinism + planted-duplicate recall "
+        "asserted in tests/test_operators.py."
+    ),
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_near_duplicates(
+        docs, "text", "doc_id", n_hashes=16, bands=4, shingle_k=3, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q75_simhash_pairs",
+    None,
+    doc=(
+        "SimHash near-dup pairs (64-bit fingerprints, 16-bit-chunk "
+        "pigeonhole blocking, Hamming ≤ 3). Rows-only: xxhash64-based."
+    ),
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_duplicates(docs, "text", "doc_id", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "q76_quality_profile",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               text,
+               str_split_regex(trim(text), '\\s+')                       AS toks,
+               LENGTH(text)                                              AS n_chars,
+               LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                                                                         AS n_punct
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               len(list_filter(str_split_regex(lower(text), '\\s+'),
+                   t -> list_contains(['the','and','of','to','is','in','that','it'], t)))
+                   * 1.0 / GREATEST(len(str_split_regex(lower(text), '\\s+')), 1)
+                                                                         AS sw_ratio,
+               n_punct * 1.0 / GREATEST(n_chars, 1)                      AS p_ratio,
+               LENGTH(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                   / GREATEST(len(toks), 1)                              AS mean_wlen,
+               n_chars
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(sw_ratio + 1e-9, 6) AS stopword_ratio,
+           ROUND(p_ratio + 1e-9, 6)  AS punct_ratio,
+           ROUND(0.4 * LEAST(n_chars / 500.0, 1.0)
+                 + 0.3 * (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0
+                               THEN 1.0 ELSE 0.5 END)
+                 + 0.3 * (1.0 - LEAST(p_ratio * 5.0, 1.0)) + 1e-9, 6) AS quality
+    FROM m
+    """,
+    doc="deterministic text quality scoring (length/word-length/punct bands).",
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from sanctum_spark.queries.util import stable_round
+
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(c).alias("n_tokens"),
+        stable_round(TX.stopword_ratio(c), 6).alias("stopword_ratio"),
+        stable_round(TX.punct_ratio(c), 6).alias("punct_ratio"),
+        stable_round(TX.quality_score(c), 6).alias("quality"),
+    )
+
+
+@register(
+    "q77_text_profile",
+    None,
+    doc=(
+        "full one-pass corpus profile (adds lang-ID + xxhash64 rolling "
+        "fingerprint + BPE-ish token count). Rows-only."
+    ),
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.text_profile(docs).orderBy("doc_id")
+
+
+@register(
+    "q78_ann_lsh_topk",
+    None,
+    doc=(
+        "LSH-bucketed ANN cosine top-10 for the vec_id=0 query (6 planes / "
+        "64 buckets, 8 probes — bucket count sized so occupancy stays "
+        "useful from sf0.001 up; at real scale raise n_planes with corpus "
+        "size). Rows-only; soundness vs the exact q73 baseline asserted in "
+        "tests/test_operators.py."
+    ),
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    lsh = S.RandomHyperplaneLSH(dim=len(qvec), n_planes=6, seed=42)
+    bucketized = lsh.bucketize(emb.filter(F.col("vec_id") != 0))
+    return lsh.topk(bucketized, qvec, k=10, n_probes=8)
+
+
+@register(
+    "q90_multimodal_features",
+    None,
+    doc=(
+        "multimodal plumbing: documents' bytes as opaque binary payloads → "
+        "MEDIA_SCHEMA envelope → mapInPandas feature extraction (fake "
+        "decoder; real Arrow batch shape). Rows-only."
+    ),
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    media = M.attach_media_columns(docs, "blob", "image", "doc_id")
+    feats = M.extract_features(media, fake_decode=True)
+    return feats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+    ).orderBy("media_id")

@@ -1,0 +1,181 @@
+"""Operator-library tests: planted-duplicate recall for the near-dup
+family, ANN soundness vs the exact baseline, as-of join equivalence,
+multimodal plumbing, text profiling determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sanctum_spark.io import load_table
+from sanctum_spark.operators import dedup as D
+from sanctum_spark.operators import joins as J
+from sanctum_spark.operators import multimodal as M
+from sanctum_spark.operators import similarity as S
+from sanctum_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs_with_planted(spark, sf_dir):
+    """documents + a near-duplicate of doc 0 (one token appended, id 10^6)
+    and an exact duplicate of doc 1 (id 10^6+1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    near = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(
+            F.lit(1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    exact = docs.filter(F.col("doc_id") == 1).select(
+        F.lit(1_000_001).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+def test_exact_dedup_planted(spark, docs_with_planted):
+    groups = D.exact_dedup(docs_with_planted, "text", "doc_id")
+    dups = groups.filter(F.col("n_copies") > 1).collect()
+    assert len(dups) == 1
+    assert dups[0]["keeper_doc_id"] == 1
+    kept = D.drop_exact_duplicates(docs_with_planted, "text", "doc_id")
+    assert kept.count() == docs_with_planted.count() - 1
+    assert kept.filter(F.col("doc_id") == 1_000_001).count() == 0
+
+
+def test_minhash_finds_planted_near_dup(spark, docs_with_planted):
+    pairs = D.minhash_near_duplicates(
+        docs_with_planted, "text", "doc_id", n_hashes=16, bands=4, threshold=0.5
+    )
+    hit = pairs.filter((F.col("id_a") == 0) & (F.col("id_b") == 1_000_000)).collect()
+    assert len(hit) == 1
+    assert hit[0]["jaccard"] > 0.9
+
+
+def test_ngram_jaccard_finds_planted(spark, docs_with_planted):
+    pairs = D.ngram_jaccard_pairs(docs_with_planted, "text", "doc_id", threshold=0.5)
+    hit = pairs.filter((F.col("id_a") == 0) & (F.col("id_b") == 1_000_000)).collect()
+    assert len(hit) == 1
+
+
+def test_simhash_finds_planted(spark, docs_with_planted):
+    pairs = D.simhash_near_duplicates(docs_with_planted, "text", "doc_id", max_hamming=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # exact duplicate: hamming 0, must be found; near-dup usually within 3
+    assert (1, 1_000_001) in got
+
+
+def test_ann_results_are_sound(spark, sf_dir):
+    """Every ANN hit must carry the true cosine similarity and be drawn
+    from the real corpus (soundness; recall on random vectors is not a
+    meaningful target)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    lsh = S.RandomHyperplaneLSH(dim=len(qvec), n_planes=8, seed=42)
+    bucketized = lsh.bucketize(emb.filter(F.col("vec_id") != 0))
+    ann = lsh.topk(bucketized, qvec, k=10, n_probes=4).collect()
+    assert 0 < len(ann) <= 10
+    exact = {
+        r["vec_id"]: r["cos_sim"]
+        for r in S.cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=500).collect()
+    }
+    for row in ann:
+        assert row["vec_id"] in exact
+        assert abs(row["cos_sim"] - exact[row["vec_id"]]) < 1e-9
+    # determinism
+    again = lsh.topk(bucketized, qvec, k=10, n_probes=4).collect()
+    assert [r["vec_id"] for r in again] == [r["vec_id"] for r in ann]
+
+
+def test_asof_join_matches_window_formulation(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
+    got = (
+        J.asof_join(ev, orders, on="user_id", left_time="ts", right_time="o_orderdate")
+        .select("event_id", "o_orderkey")
+        .collect()
+    )
+    from sanctum_spark.queries.events_q import q63
+
+    want = {r["event_id"]: r["last_orderkey"] for r in q63(spark, sf_dir).collect()}
+    assert len(got) == len(want)
+    for r in got:
+        assert want[r["event_id"]] == r["o_orderkey"], r
+
+
+def test_range_join_counts(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("lo"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("hi"),
+    )
+    out = J.range_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        orders,
+        on="o_orderkey",
+        left_time="l_shipdate",
+        right_lo="lo",
+        right_hi="hi",
+    )
+    n = out.count()
+    assert n > 0
+    # spot-check the band predicate holds
+    bad = out.filter(
+        (F.col("l_shipdate") < F.col("lo")) | (F.col("l_shipdate") >= F.col("hi"))
+    ).count()
+    assert bad == 0
+
+
+def test_text_profile_shape_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    p1 = TX.text_profile(docs).orderBy("doc_id").collect()
+    p2 = TX.text_profile(docs).orderBy("doc_id").collect()
+    assert p1 == p2
+    for r in p1:
+        assert r["n_tokens"] > 0
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["lang_pred"] in {"en", "de", "es", "fr", "und"}
+        assert r["n_unique_tokens"] <= r["n_tokens"]
+
+
+def test_multimodal_pipeline(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20).select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    media = M.attach_media_columns(docs, "blob", "image", "doc_id")
+    # same names/types as the envelope (nullability flags may differ)
+    assert [(f.name, f.dataType) for f in media.schema.fields] == [
+        (f.name, f.dataType) for f in M.MEDIA_SCHEMA.fields
+    ]
+    feats = M.extract_features(media, fake_decode=True).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r["feature"]) == 3
+        assert r["n_bytes"] > 0
+        assert all(0.0 <= v <= 1.0 for v in r["feature"])
+    # deterministic fake decode: same payload → same feature
+    again = M.extract_features(media, fake_decode=True).collect()
+    assert {r["media_id"]: r["feature"] for r in again} == {
+        r["media_id"]: r["feature"] for r in feats
+    }
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG...", fake=False)
+
+
+def test_frame_sampling(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(3).select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    media = M.attach_media_columns(docs, "blob", "video", "doc_id")
+    frames = M.sample_frames(media, every_ms=1000, fake_decode=True).collect()
+    # default fake duration 3000ms → 3 frames per video
+    assert len(frames) == 9
+    idx = {(r["media_id"], r["frame_idx"]) for r in frames}
+    assert len(idx) == 9
