@@ -1,0 +1,219 @@
+"""Structured Streaming tests: file-source replay of the events table,
+windowed aggregation vs batch equivalence, late-data drop, streaming
+dedup, session windows vs batch sessionization, stateful spells, and
+topic demux."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from sanctum_spark.io import load_table
+from sanctum_spark.streaming import sources as SRC
+from sanctum_spark.streaming import stateful as ST
+from sanctum_spark.streaming import windows as WIN
+from sanctum_spark.streaming.routing import demux_foreach_batch
+from sanctum_spark.spells.registry import Spell
+
+
+@pytest.fixture()
+def tmpdir_factory_local(tmp_path):
+    return tmp_path
+
+
+@pytest.fixture(scope="module")
+def staged(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("evstream"))
+    SRC.stage_event_stream(spark, sf_dir, d, n_files=4)
+    return d
+
+
+def _drain(stream_df, name, mode="append", checkpoint=None):
+    q = SRC.run_to_memory(stream_df, name, output_mode=mode, checkpoint=checkpoint)
+    return q
+
+
+def test_file_stream_replays_all_events(spark, sf_dir, staged):
+    stream = SRC.events_file_stream(spark, staged)
+    name = f"replay_{uuid.uuid4().hex[:8]}"
+    _drain(stream, name)
+    got = spark.table(name).count()
+    want = load_table(spark, sf_dir, "events").count()
+    assert got == want
+
+
+def test_tumbling_window_matches_batch(spark, sf_dir, staged):
+    stream = SRC.events_file_stream(spark, staged)
+    agg = WIN.tumbling_window_agg(stream, "1 hour", "1 hour")
+    name = f"tumble_{uuid.uuid4().hex[:8]}"
+    _drain(agg, name, mode="complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.table(name).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in (
+            ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("win.start").alias("window_start"), "event_type", "n", "total_value")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_late_data_dropped(spark, tmp_path):
+    """A watermark must drop events arriving after it passed: the first
+    file carries day-30 data (watermark → day 30 - 1h); once a batch has
+    committed that watermark, a replayed day-1 event must NOT create a
+    window.  Uses a live trigger: availableNow's back-to-back batches have
+    a one-batch watermark lag, so the drop guarantee is only observable in
+    steady-state streaming."""
+    d = str(tmp_path / "late")
+    ev = load_table(spark, os.environ.get("SANCTUM_TEST_SF_DIR", "/root/testdata/sf0.001"), "events")
+    recent = ev.orderBy(F.col("ts_ns").desc()).limit(100)
+    late_one = ev.orderBy(F.col("ts_ns").asc()).limit(1)
+    recent.coalesce(1).write.parquet(d)
+
+    stream = SRC.events_file_stream(spark, d, max_files_per_trigger=1)
+    agg = WIN.tumbling_window_agg(stream, "1 hour", "1 hour")
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # wait until a committed batch carries the advanced watermark
+        def wm_advanced():
+            p = q.lastProgress
+            return p and p["eventTime"].get("watermark", "1970").startswith("2024")
+
+        for _ in range(60):
+            if wm_advanced():
+                break
+            time.sleep(0.5)
+        assert wm_advanced(), "watermark never advanced"
+
+        late_one.coalesce(1).write.mode("append").parquet(d)
+
+        def late_processed():
+            return any(
+                p["stateOperators"]
+                and p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) > 0
+                for p in q.recentProgress
+            )
+
+        for _ in range(60):
+            if late_processed():
+                break
+            time.sleep(0.5)
+        assert late_processed(), "late row was never seen/dropped by the operator"
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    out = spark.table(name)
+    late_ts = late_one.first()["ts"]
+    hit = out.filter(
+        (F.col("window_start") <= late_ts) & (F.col("window_end") > late_ts)
+    ).count()
+    assert hit == 0, "late event beyond the watermark must be dropped"
+    assert out.count() > 0
+
+
+def test_streaming_dedup(spark, sf_dir, tmp_path):
+    """The same file staged twice: exact streaming dedup on event_id must
+    collapse the replay to the distinct set (the durable-log at-least-once
+    delivery case)."""
+    d = str(tmp_path / "dup")
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    ev.coalesce(1).write.parquet(d)
+    time.sleep(1.1)
+    ev.coalesce(1).write.mode("append").parquet(d)
+
+    stream = SRC.events_file_stream(spark, d, max_files_per_trigger=1)
+    deduped = WIN.streaming_dedup(stream, ["event_id"])
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    _drain(deduped, name, checkpoint=str(tmp_path / "ckpt2"))
+    assert spark.table(name).count() == 200
+
+
+def test_session_window_matches_batch_sessionize(spark, sf_dir, staged):
+    """Streaming session windows (30-min gap) must produce the same
+    per-user session-size multisets as the batch q62 sessionization."""
+    stream = SRC.events_file_stream(spark, staged)
+    sess = WIN.session_window_agg(stream, gap="30 minutes", watermark="10 minutes")
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    _drain(sess, name, mode="complete")
+    got = sorted(
+        (r["user_id"], r["n_events"]) for r in spark.table(name).collect()
+    )
+    from sanctum_spark.queries.events_q import q62
+
+    want = sorted((r["user_id"], r["n_events"]) for r in q62(spark, sf_dir).collect())
+    assert got == want
+
+
+def test_stateful_counter_spell(spark, sf_dir, staged, tmp_path):
+    """Per-key durable state across micro-batches: the final emitted state
+    per (user_id, event_type) equals the batch groupBy."""
+    stream = SRC.events_file_stream(spark, staged).select(
+        "user_id", "event_type", "value"
+    )
+    spell = ST.counter_spell()
+    out = ST.apply_stateful_spell(stream, spell, ["user_id", "event_type"])
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    _drain(out, name, mode="update", checkpoint=str(tmp_path / "ckpt3"))
+    # update mode emits one row per key per micro-batch; the final value
+    # per key is the max n (counts are monotone)
+    emitted = spark.table(name)
+    final = (
+        emitted.groupBy("user_id", "event_type")
+        .agg(F.max("n").alias("n"))
+        .collect()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert len(final) == len(want)
+    for r in final:
+        assert want[(r["user_id"], r["event_type"])] == r["n"]
+
+
+def test_topic_demux(spark, sf_dir, staged):
+    """One stream fanned to three spell subscriptions (two topic-routed,
+    one predicate-routed) — counts must match batch filters."""
+    stream = SRC.events_file_stream(spark, staged, max_files_per_trigger=2)
+    received: dict[str, int] = {}
+
+    def sink(name, df, batch_id):
+        received[name] = received.get(name, 0) + df.count()
+
+    subs = [
+        (Spell(name="clicks", cast=lambda e: e, topic="click"), None, sink),
+        (Spell(name="purchases", cast=lambda e: e, topic="purchase"), None, sink),
+        (Spell(name="bigvals", cast=lambda e: e), "value > 150", sink),
+    ]
+    q = (
+        stream.writeStream.foreachBatch(demux_foreach_batch(subs))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    ev = load_table(spark, sf_dir, "events")
+    assert received["clicks"] == ev.filter("event_type = 'click'").count()
+    assert received["purchases"] == ev.filter("event_type = 'purchase'").count()
+    assert received["bigvals"] == ev.filter("value > 150").count()
