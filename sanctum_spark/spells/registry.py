@@ -48,6 +48,8 @@ def validate_spell(obj: object, name: str = "spell", source: str | None = None) 
     Order matters: not-a-table wins, then missing-cast, then
     cast-not-callable (reference: src/main.zig:238-264).
     """
+    if isinstance(obj, Spell):
+        return obj
     if callable(obj) and not isinstance(obj, Mapping):
         return Spell(name=name, cast=obj, source=source)
     if not isinstance(obj, Mapping):
