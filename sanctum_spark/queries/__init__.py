@@ -51,6 +51,7 @@ def load_all_modules() -> None:
     from sanctum_spark.queries import (  # noqa: F401
         relational,
         relational2,
+        relational3,
         events_q,
         llm_q,
         spells_q,

@@ -24,7 +24,7 @@ from pyspark.sql.window import Window as W
 
 from sanctum_spark.io import load_table
 from sanctum_spark.queries import register
-from sanctum_spark.queries.util import stable_round
+from sanctum_spark.queries.util import money_round, stable_round
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -41,8 +41,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
            ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)) + 5e-7, 2)         AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 5e-7, 2) AS sum_charge,
            ROUND(AVG(l_quantity) + 1e-9, 4)                                 AS avg_qty,
            ROUND(AVG(l_extendedprice) + 1e-9, 4)                            AS avg_price,
            ROUND(AVG(l_discount) + 1e-9, 4)                                 AS avg_disc,
@@ -61,8 +61,8 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        money_round(F.sum(disc_price)).alias("sum_disc_price"),
+        money_round(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
         stable_round(F.avg("l_quantity"), 4).alias("avg_qty"),
         stable_round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         stable_round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -98,7 +98,7 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_shipping_priority",
     """
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)) + 5e-7, 2) AS revenue,
            o_orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -122,8 +122,8 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -136,7 +136,7 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q05_local_supplier_volume",
     """
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           ROUND(SUM(l_extendedprice * (1 - l_discount)) + 5e-7, 2) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -166,8 +166,8 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             ).alias("revenue")
         )
     )

@@ -13,7 +13,7 @@ from pyspark.sql.window import Window as W
 
 from sanctum_spark.io import load_table, register_views
 from sanctum_spark.queries import register
-from sanctum_spark.queries.util import stable_round
+from sanctum_spark.queries.util import money_round, stable_round
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -23,7 +23,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @register(
     "q06_revenue_filter",
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    SELECT ROUND(SUM(l_extendedprice * l_discount) + 5e-7, 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
@@ -39,7 +39,7 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_discount").between(0.03, 0.07))
         & (F.col("l_quantity") < 24)
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    ).agg(money_round(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
 
 
 @register(
@@ -131,7 +131,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive",
     """
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)) + 5e-7, 2) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 30)
@@ -151,7 +151,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(
         arm("Brand#1", 15, 1, 20) | arm("Brand#2", 25, 10, 30) | arm("Brand#3", 35, 20, 40)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        money_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
             "revenue"
         )
     )

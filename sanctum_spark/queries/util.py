@@ -20,3 +20,21 @@ def stable_round(col: Column, scale: int) -> Column:
 
 def sql_stable_round(expr: str, scale: int) -> str:
     return f"ROUND(({expr}) + 1e-9, {scale})"
+
+
+# SUMs of price products (price * (1-disc) [* (1+tax)]) are decimal-exact
+# at 4-6 dp, so their true values can sit EXACTLY on a 2-dp rounding
+# boundary while cross-engine FP noise is ~1e-7 (too big for the 1e-9
+# nudge).  5e-7 clears the noise yet stays below the 1e-6 data grid, so
+# both engines always land on the same side.  Use for rounded money sums
+# involving multiplication; plain sums of 2-dp values never sit on a
+# boundary and need no nudge.
+MONEY_EPS = 5e-7
+
+
+def money_round(col: Column, scale: int = 2) -> Column:
+    return F.round(col + F.lit(MONEY_EPS), scale)
+
+
+def sql_money_round(expr: str, scale: int = 2) -> str:
+    return f"ROUND(({expr}) + 5e-7, {scale})"
