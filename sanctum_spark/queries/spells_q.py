@@ -54,6 +54,43 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_spell(ev, spell, schema, topic_col="event_type")
 
 
+def _boost_cast_vectorized(pdf):
+    # same semantics as _boost_cast, columnar: one pandas expression per
+    # Arrow batch instead of a Python loop per event (~10-100x on wide
+    # batches; this is the production form of a hot spell)
+    kept = pdf[pdf["value"] >= 50]
+    out = kept[["event_id", "user_id"]].copy()
+    out["boosted_value"] = (kept["value"] * 2).round(2)
+    return out
+
+
+@register(
+    "q82_spell_cast_vectorized",
+    """
+    SELECT event_id, user_id, ROUND(value * 2, 2) AS boosted_value
+    FROM events
+    WHERE (event_type IS NULL OR event_type = 'purchase')
+      AND value >= 50
+    """,
+    doc="vectorized spell cast: same semantics as q80 on the columnar path.",
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    spell = Spell(
+        name="boost_vec", cast=_boost_cast_vectorized, topic="purchase", vectorized=True
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("boosted_value", T.DoubleType()),
+        ]
+    )
+    return apply_spell(ev, spell, schema, topic_col="event_type")
+
+
 def _decrement_cast(event: dict) -> dict | None:
     # the decrement-counter spell of the reference test suite
     # (src/tests/test-suite/decrement-counter/spell.lua), payload-only.

@@ -48,6 +48,11 @@ def get_spark(app_name: str = "sanctum_spark", extra_conf: dict | None = None) -
         # rejects it unless nanos are surfaced as long (io.py re-derives a
         # µs timestamp + exact ts_ns column from it).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # warehouse for bucketed managed tables (sinks.write_bucketed_table)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/sanctum_spark_warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -40,6 +40,10 @@ class Spell:
     unprepare: Callable | None = None
     source: str | None = None
     config: dict = field(default_factory=dict)
+    # vectorized=True: ``cast`` receives/returns whole pandas DataFrames
+    # (Arrow batch at a time) instead of one event dict — the fast path
+    # when the spell body is expressible as columnar operations.
+    vectorized: bool = False
 
 
 def validate_spell(obj: object, name: str = "spell", source: str | None = None) -> Spell:

@@ -135,12 +135,20 @@ def apply_spell(
     config = dict(spell.config)
     names = [f.name for f in output_schema.fields]
     loop_mode = mode == "loop"
+    vectorized = spell.vectorized
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if prepare is not None:
             prepare(config)
         try:
             for pdf in batches:
+                if vectorized:
+                    # columnar fast path: the spell maps a whole Arrow
+                    # batch; None == drop the entire batch
+                    out_pdf = cast(pdf)
+                    if out_pdf is not None:
+                        yield out_pdf[names] if list(out_pdf.columns) != names else out_pdf
+                    continue
                 rows_out: list[dict] = []
                 for row in pdf.to_dict("records"):
                     if loop_mode:

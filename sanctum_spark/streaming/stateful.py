@@ -71,6 +71,73 @@ def apply_stateful_spell(
     )
 
 
+def kv_store_spell(value_col: str = "value") -> StatefulSpell:
+    """Durable per-key KV store with range-query semantics.
+
+    The reference's state roadmap asks for "SELECT * FROM state WHERE
+    v > 10 AND v < 20" over spell state (reference: README.md:110 — it
+    staged SQLite for this but never wired it).  Spark-first reading: the
+    state store holds the KV pairs; every micro-batch emits the key's
+    current aggregate snapshot, and a range query is a DataFrame filter
+    over the latest snapshot — the predicate stays in Catalyst, the state
+    stays in the (RocksDB-capable) store.
+    """
+    return StatefulSpell(
+        name="kv_store",
+        init=lambda: {"n": 0, "v_min": None, "v_max": None, "v_sum": 0.0},
+        update=lambda st, pdf: {
+            "n": st["n"] + len(pdf),
+            "v_min": min(
+                x for x in [st["v_min"], float(pdf[value_col].min())] if x is not None
+            ),
+            "v_max": max(
+                x for x in [st["v_max"], float(pdf[value_col].max())] if x is not None
+            ),
+            "v_sum": st["v_sum"] + float(pdf[value_col].sum()),
+        },
+        emit=lambda key, st: {
+            "user_id": key[0],
+            "n": st["n"],
+            "v_min": st["v_min"],
+            "v_max": st["v_max"],
+            "v_avg": st["v_sum"] / st["n"] if st["n"] else None,
+        },
+        state_schema=T.StructType(
+            [
+                T.StructField("n", T.LongType()),
+                T.StructField("v_min", T.DoubleType()),
+                T.StructField("v_max", T.DoubleType()),
+                T.StructField("v_sum", T.DoubleType()),
+            ]
+        ),
+        output_schema=T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("n", T.LongType()),
+                T.StructField("v_min", T.DoubleType()),
+                T.StructField("v_max", T.DoubleType()),
+                T.StructField("v_avg", T.DoubleType()),
+            ]
+        ),
+    )
+
+
+def range_query_state(snapshot: DataFrame, predicate: str) -> DataFrame:
+    """Range query over the latest emitted state snapshots: keep each
+    key's last emission, then apply the SQL predicate (the reference's
+    state range-query surface)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc())
+    latest = (
+        snapshot.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return latest.filter(predicate)
+
+
 def counter_spell() -> StatefulSpell:
     """The decrement/counter family as durable per-key state: running event
     count + value sum per key (reference's per-spell counter state)."""

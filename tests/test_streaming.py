@@ -217,3 +217,26 @@ def test_topic_demux(spark, sf_dir, staged):
     assert received["clicks"] == ev.filter("event_type = 'click'").count()
     assert received["purchases"] == ev.filter("event_type = 'purchase'").count()
     assert received["bigvals"] == ev.filter("value > 150").count()
+
+
+def test_kv_store_range_query(spark, sf_dir, staged, tmp_path):
+    """Reference roadmap (README.md:110): range queries over durable spell
+    state — 'SELECT * FROM state WHERE v > 10 AND v < 20'."""
+    stream = SRC.events_file_stream(spark, staged).select("user_id", "value")
+    out = ST.apply_stateful_spell(stream, ST.kv_store_spell(), ["user_id"])
+    name = f"kv_{uuid.uuid4().hex[:8]}"
+    _drain(out, name, mode="update", checkpoint=str(tmp_path / "ckpt_kv"))
+    snapshot = spark.table(name)
+    ranged = ST.range_query_state(snapshot, "v_avg > 45 AND v_avg < 55")
+    got = {r["user_id"]: r["n"] for r in ranged.collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("v_avg"))
+        .filter("v_avg > 45 AND v_avg < 55")
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
