@@ -52,6 +52,7 @@ def load_all_modules() -> None:
         relational,
         relational2,
         relational3,
+        relational4,
         events_q,
         llm_q,
         spells_q,

@@ -184,3 +184,66 @@ def loop_spell(
     return apply_spell(
         df, spell, output_schema, topic_col=topic_col, mode="loop", max_casts=max_casts
     )
+
+
+def apply_spell_safely(
+    df: DataFrame,
+    spell: Spell | object,
+    output_schema: StructType,
+    topic_col: str | None = None,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Protected cast with an error channel (the distributed form of the
+    reference's protected calls + error taxonomy, src/main.zig:302-306,
+    316-365): a spell exception doesn't kill the job — the failing event
+    is routed to a dead-letter channel.
+
+    Output = ``output_schema`` columns plus ``_error`` (null for good
+    rows; ``ExceptionName: message`` for failures, with the event id in
+    ``_error_id``).  Use ``split_errors`` to separate channels.
+    """
+    import pyspark.sql.types as T
+
+    if not isinstance(spell, Spell):
+        spell = validate_spell(spell)
+    if topic_col is not None:
+        df = df.filter(topic_filter(spell, topic_col))
+
+    cast = spell.cast
+    names = [f.name for f in output_schema.fields]
+    full_schema = T.StructType(
+        list(output_schema.fields)
+        + [T.StructField("_error", T.StringType()), T.StructField("_error_id", T.LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows_out: list[dict] = []
+            for row in pdf.to_dict("records"):
+                try:
+                    out = cast(dict(row))
+                except Exception as exc:  # protected call: event → dead letter
+                    rows_out.append(
+                        {
+                            "_error": f"{type(exc).__name__}: {exc}",
+                            "_error_id": row.get(id_col),
+                        }
+                    )
+                    continue
+                if out is not None:
+                    out = dict(out)
+                    out["_error"] = None
+                    out["_error_id"] = None
+                    rows_out.append(out)
+            yield _rows_to_pdf(rows_out, names + ["_error", "_error_id"])
+
+    return df.mapInPandas(run, schema=full_schema)
+
+
+def split_errors(df: DataFrame):
+    """(good_rows_without_error_cols, dead_letter_rows)."""
+    from pyspark.sql import functions as F
+
+    good = df.filter(F.col("_error").isNull()).drop("_error", "_error_id")
+    bad = df.filter(F.col("_error").isNotNull()).select("_error_id", "_error")
+    return good, bad
