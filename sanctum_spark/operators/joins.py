@@ -77,6 +77,32 @@ def asof_join(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: explode the (small-ish) right side into
+    ``n_salts`` copies and scatter the left side's hot keys uniformly over
+    them, so one pathological key spreads across n_salts tasks instead of
+    stalling the stage on a single straggler.
+
+    AQE's skew-join split handles most cases automatically; salting is the
+    explicit fallback when a single key exceeds what one task can hold
+    (e.g. 10% of 100 TB on one join key).  Result is identical to a plain
+    equi-join on ``on``.
+    """
+    salt = F.floor(F.rand(seed=42) * n_salts).cast("int")
+    l_salted = left.withColumn("_salt", salt)
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = l_salted.join(r_salted, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -12,6 +12,14 @@ HDFS-backed provider on a cluster), which is the durable-KV semantics the
 reference declares but never built.  Range queries over the state
 (README.md:110) are served by emitting state snapshots and filtering —
 see ``range_query_state`` in tests.
+
+Backend note: Spark 4's newer ``transformWithStateInPandas`` (typed
+ValueState/MapState/timers over RocksDB) is the natural successor API;
+probed in this environment it fails at Python-runner init (broken
+``google.protobuf`` install, no network to fix), so the stable
+``applyInPandasWithState`` backend is used.  The StatefulSpell surface is
+backend-agnostic — swapping the implementation later doesn't change
+callers.
 """
 
 from __future__ import annotations

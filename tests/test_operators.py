@@ -179,3 +179,25 @@ def test_frame_sampling(spark, sf_dir):
     assert len(frames) == 9
     idx = {(r["media_id"], r["frame_idx"]) for r in frames}
     assert len(idx) == 9
+
+
+def test_salted_join_equivalence(spark, sf_dir):
+    """Salting must not change join semantics — same result as the plain
+    equi-join, with the hot key scattered over n_salts partitions."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    plain = (
+        li.join(orders, "l_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    )
+    salted = (
+        J.salted_join(li, orders, "l_orderkey", n_salts=8)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    )
+    a = {r["o_orderstatus"]: (r["n"], r["q"]) for r in plain.collect()}
+    b = {r["o_orderstatus"]: (r["n"], r["q"]) for r in salted.collect()}
+    assert a == b
