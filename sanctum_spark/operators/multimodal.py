@@ -121,6 +121,47 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame, height: int = 4, width: int = 4, fake_decode: bool = True
+) -> DataFrame:
+    """Decode → resize → re-encode pipeline shape.
+
+    Resizing uses simple block-mean pooling over the (fake-)decoded pixel
+    tensor; output carries the resized tensor flattened to bytes plus the
+    new dimensions in the metadata struct.  Only the decoder is stubbed —
+    batching, schema, and the binary-out path are production-shaped.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": [], "width": [], "height": []}
+            for _, row in pdf.iterrows():
+                pixels = decode_image(bytes(row["payload"] or b""), fake=fake_decode)
+                h0, w0, c = pixels.shape
+                bh, bw = max(1, h0 // height), max(1, w0 // width)
+                resized = (
+                    pixels[: bh * height, : bw * width]
+                    .reshape(height, bh, width, bw, c)
+                    .mean(axis=(1, 3))
+                    .astype(np.uint8)
+                )
+                out["media_id"].append(row["media_id"])
+                out["payload"].append(resized.tobytes())
+                out["width"].append(width)
+                out["height"].append(height)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=schema)
+
+
 def sample_frames(
     media: DataFrame, every_ms: int = 1000, fake_decode: bool = True
 ) -> DataFrame:

