@@ -142,15 +142,25 @@ def embedding_near_duplicates(
         if dim is None:
             dim = len(df.select(vec_col).first()[0])
         lsh = RandomHyperplaneLSH(dim=dim, n_planes=4, seed=42)
+    # precompute the double vector + its norm once per ROW before the pair
+    # join: cosine then costs one dot product (+ mul/div) per pair instead
+    # of three dots with per-pair casts.  The norm rides as a scalar
+    # column rather than normalizing elements in-place — dividing inside a
+    # transform lambda would re-inline the norm subexpression per element
+    # (Catalyst has no lambda CSE; see operators.dedup._let).
+    dvec = _as_double(vec_col)
     b = lsh.bucketize(df, vec_col).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "bucket"
+        F.col(id_col).alias("id"),
+        dvec.alias("vec"),
+        F.sqrt(_dot(dvec, dvec)).alias("nrm"),
+        "bucket",
     )
     a1, a2 = b.alias("a"), b.alias("b")
     pairs = a1.join(
         a2,
         (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
     )
-    sim = cosine_similarity(_as_double(F.col("a.vec")), _as_double(F.col("b.vec")))
+    sim = _dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         pairs.select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("cos_sim")
