@@ -22,9 +22,16 @@ def main() -> None:
     spark = get_spark("sanctum_spark_bench")
     registry = qreg.queries()
 
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # engine, not first-touch classloading.
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # Warm the JVM once so per-query numbers measure the engine, not
+    # first-touch classloading: a scan, a shuffle (exchange + codegen
+    # machinery), and a Python-worker round trip.
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li.groupBy("l_returnflag").count().collect()
+    spark.range(1000).select(
+        F.pandas_udf(lambda s: s * 2, "long")(F.col("id"))
+    ).count()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(registry.items()):

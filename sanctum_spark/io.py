@@ -45,6 +45,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _df_cache.get(key)
     if cached is not None:
         return cached
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS); make the reader surface
+        # it as long even on sessions not built by sanctum_spark.session
+        # (e.g. the driver's own SparkSession) — this conf is dynamic.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the µs timestamp derived below is session-TZ-sensitive
+        # (timestamp_micros + date_trunc); pin UTC so results match the
+        # TZ-naive DuckDB oracle regardless of the host session's TZ
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) on disk, surfaced as a long by
