@@ -75,6 +75,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_source(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Generic batch source: parquet / json / csv / orc.
+
+    JSON and CSV get schema-on-read when a schema is passed (always pass
+    one in production — inference is a full extra scan at 100 TB).
+    """
+    reader = spark.read.format(format)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if format == "csv":
+        options.setdefault("header", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

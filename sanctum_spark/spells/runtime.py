@@ -186,6 +186,63 @@ def loop_spell(
     )
 
 
+def apply_spell_with_emits(
+    df: DataFrame,
+    spell: Spell | object,
+    output_schema: StructType,
+    topic_col: str | None = None,
+    mode: str = "cast",
+    max_casts: int = RUNAWAY_LOOP_BOUND,
+) -> DataFrame:
+    """Distributed cast with the console-sink channel captured (reference
+    O8: spells print via the stdlib, src/main.zig:130-134; the golden
+    tests compare that channel).  Each event's printed lines are captured
+    into an ``_emits`` array column instead of vanishing into worker
+    stdout.  Opt-in: the per-event stdout redirect costs more than the
+    plain path."""
+    import pyspark.sql.types as T
+
+    if not isinstance(spell, Spell):
+        spell = validate_spell(spell)
+    if topic_col is not None:
+        df = df.filter(topic_filter(spell, topic_col))
+
+    cast = spell.cast
+    names = [f.name for f in output_schema.fields]
+    full_schema = T.StructType(
+        list(output_schema.fields)
+        + [T.StructField("_emits", T.ArrayType(T.StringType()))]
+    )
+    loop_mode = mode == "loop"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows_out: list[dict] = []
+            for row in pdf.to_dict("records"):
+                buf = _io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    if loop_mode:
+                        event, n = row, 0
+                        while n < max_casts:
+                            out = cast(event)
+                            n += 1
+                            if out is None:
+                                break
+                            event = out
+                        out = dict(event)
+                        out["n_casts"] = n
+                    else:
+                        out = cast(row)
+                if out is not None:
+                    out = dict(out)
+                    text = buf.getvalue()
+                    out["_emits"] = text.split("\n")[:-1] if text else []
+                    rows_out.append(out)
+            yield _rows_to_pdf(rows_out, names + ["_emits"])
+
+    return df.mapInPandas(run, schema=full_schema)
+
+
 def apply_spell_safely(
     df: DataFrame,
     spell: Spell | object,

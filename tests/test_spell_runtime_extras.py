@@ -76,3 +76,40 @@ def test_telemetry_accumulators(spark, sf_dir):
     assert rep["errors"] == 0
     assert rep["total_sec"] > 0
     assert rep["ns_per_cast"] > 0
+
+
+def test_emission_channel_distributed(spark, sf_dir):
+    """O8 console-sink parity on the distributed path: each event's
+    printed lines are captured into _emits, matching the reference's
+    golden emission sequences per event."""
+    from sanctum_spark.spells.runtime import apply_spell_with_emits
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", (F.get_json_object("props", "$.k").cast("long") % 4 + 1).alias("counter")
+    ).limit(50)
+
+    def make_cast():
+        def cast(event):
+            if event["counter"] <= 1:
+                print("The counter has reached 0, stopping.")
+                return None
+            event = dict(event)
+            event["counter"] -= 1
+            print(f"The counter is now {event['counter']}.")
+            return event
+        return cast
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("n_casts", T.LongType()),
+        ]
+    )
+    out = apply_spell_with_emits(
+        ev, Spell(name="dec", cast=make_cast()), schema, mode="loop"
+    ).collect()
+    assert len(out) == 50
+    for r in out:
+        # k%4+1 ∈ [1,4] → lines: (n-1) decrements + 1 stop line
+        assert r["_emits"][-1] == "The counter has reached 0, stopping."
+        assert len(r["_emits"]) == max(r["n_casts"] - 1, 0) + 1
