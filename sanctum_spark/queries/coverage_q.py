@@ -144,3 +144,76 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return ev.mapInPandas(fanout, schema=schema)
+
+
+@register(
+    "q85_grouped_map_normalize",
+    """
+    SELECT user_id, event_id,
+           ROUND((value - AVG(value) OVER w) / stddev_samp(value) OVER w + 1e-9, 5)
+               AS value_z
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+    doc=(
+        "grouped-map applyInPandas (per-group pandas transform): z-score "
+        "normalization per user, oracle-checked against the window form."
+    ),
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value_z", T.DoubleType()),
+        ]
+    )
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        z = (v - v.mean()) / v.std()  # ddof=1 == stddev_samp
+        out = pdf[["user_id", "event_id"]].copy()
+        out["value_z"] = (z + 1e-9).round(5)
+        return out
+
+    return ev.groupBy("user_id").applyInPandas(normalize, schema=schema)
+
+
+@register(
+    "q86_event_sequence",
+    """
+    SELECT c.user_id, COUNT(DISTINCT c.event_id) AS n_converting_clicks
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND epoch_ns(p.ts) > epoch_ns(c.ts)
+     AND epoch_ns(p.ts) <= epoch_ns(c.ts) + 1800000000000
+    WHERE c.event_type = 'click'
+    GROUP BY c.user_id
+    """,
+    doc=(
+        "CEP-style sequence pattern: click followed by a purchase within "
+        "30 min by the same user (exact-ns band self-join — the batch "
+        "form of MATCH_RECOGNIZE-style pattern detection)."
+    ),
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("c_id"),
+        F.col("ts_ns").alias("c_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts_ns").alias("p_ts")
+    )
+    j = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.lit(1_800_000_000_000)),
+    )
+    return j.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.countDistinct("c_id").alias("n_converting_clicks")
+    )
