@@ -44,6 +44,11 @@ def get_spark(app_name: str = "sanctum_spark", extra_conf: dict | None = None) -
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # spill-aware sizing: ~128 MB scan splits and ~64 MB post-shuffle
+        # partitions keep per-task working sets well inside executor
+        # memory at any SF; AQE coalesces up from these, never down.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(64 * 1024 * 1024))
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark's reader
         # rejects it unless nanos are surfaced as long (io.py re-derives a
         # µs timestamp + exact ts_ns column from it).
