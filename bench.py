@@ -48,6 +48,17 @@ def main() -> None:
         timings[name] = round(best, 4)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
+    # BASELINE.md comparability: the reference's headline number is spell
+    # throughput (events/sec/core, README.md:61-62).  Ours = events
+    # ingested through the route+cast pipeline (topic filter + cast over
+    # the whole events table) / best wall-clock.
+    n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    spell_tp = (
+        round(n_events / timings["q82_spell_cast_vectorized"])
+        if timings.get("q82_spell_cast_vectorized")
+        else None
+    )
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "sanctum_spark_query_suite",
@@ -55,6 +66,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "spell_events_per_sec": spell_tp,
+        "row_spell_events_per_sec": (
+            round(n_events / timings["q80_spell_cast"])
+            if timings.get("q80_spell_cast")
+            else None
+        ),
     }
     print(json.dumps(result))
     spark.stop()
