@@ -11,13 +11,19 @@ a thin adapter over its query registry.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sanctum_spark import queries as _q
-from sanctum_spark.io import load_table
-from pyspark.sql import functions as F
+# importable regardless of the caller's cwd (the driver may import this
+# module by path)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from sanctum_spark import queries as _q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
