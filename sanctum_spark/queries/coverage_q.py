@@ -217,3 +217,22 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(F.col("c_user").alias("user_id")).agg(
         F.countDistinct("c_id").alias("n_converting_clicks")
     )
+
+
+@register(
+    "q87_approx_percentile",
+    None,
+    doc=(
+        "approx_percentile (t-digest-style sketch) per group; no oracle — "
+        "sketch results are engine-specific. Accuracy vs the exact "
+        "percentile asserted in tests/test_operators.py."
+    ),
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median"
+        ),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median"),
+    )

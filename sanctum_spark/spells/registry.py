@@ -78,6 +78,33 @@ def validate_spell(obj: object, name: str = "spell", source: str | None = None) 
     )
 
 
+def compose_spells(spells: list[Spell], name: str = "composed") -> Spell:
+    """Chain spells into one: each event flows through every cast in
+    order, with the data-only boundary enforced between stages (the
+    multi-spell topology of the reference's roadmap, README.md:92-93,
+    collapsed into a single pass).
+
+    A ``None`` from any stage drops the event (the chain short-circuits).
+    Per-spell topics still apply: a stage is skipped — not a drop — when
+    the event's ``$topic`` doesn't match it (O4 semantics).
+    """
+    from sanctum_spark.codec import roundtrip
+
+    validated = [s if isinstance(s, Spell) else validate_spell(s) for s in spells]
+
+    def chained(event):
+        for s in validated:
+            if not matches_topic(s.topic, event.get("$topic") if isinstance(event, dict) else None):
+                continue
+            out = s.cast(event)
+            if out is None:
+                return None
+            event = roundtrip(out) if isinstance(out, dict) else out
+        return event
+
+    return Spell(name=name, cast=chained)
+
+
 def matches_topic(spell_topic: str | None, event_topic: object) -> bool:
     """Null-tolerant equality (reference: src/main.zig:169-210).
 

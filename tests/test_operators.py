@@ -237,3 +237,11 @@ def test_resize_images_shapes(spark, sf_dir):
     for r in out:
         assert r["width"] == 4 and r["height"] == 4
         assert len(bytes(r["payload"])) == 4 * 4 * 3  # HxWxC uint8
+
+
+def test_approx_percentile_accuracy(spark, sf_dir):
+    from sanctum_spark.queries.coverage_q import q87
+
+    for r in q87(spark, sf_dir).collect():
+        rel = abs(r["approx_median"] - r["exact_median"]) / abs(r["exact_median"])
+        assert rel < 0.01, r

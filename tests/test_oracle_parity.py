@@ -60,3 +60,11 @@ def test_registry_consistency():
     names = set(qreg.queries().keys())
     oracle_names = set(qreg.oracle_sql().keys())
     assert oracle_names <= names
+
+
+def test_no_duplicate_column_names(spark, sf_dir):
+    """The driver sorts columns by name before hashing — duplicate names
+    would silently corrupt the compare for every query."""
+    for name, q in sorted(qreg.REGISTRY.items()):
+        cols = q.fn(spark, sf_dir).columns
+        assert len(set(cols)) == len(cols), (name, cols)

@@ -169,3 +169,35 @@ def test_dump_events():
     r = simulate({"cast": lambda ev: None}, {"k": 1}, dump_events=True)
     assert len(r.dumps) == 1
     assert r.dumps[0].startswith("https://msgpack.dbrgn.ch/#base64=")
+
+
+def test_compose_spells():
+    from sanctum_spark.spells.registry import compose_spells
+
+    def double(ev):
+        out = dict(ev)
+        out["v"] = out["v"] * 2
+        return out
+
+    def add_ten(ev):
+        out = dict(ev)
+        out["v"] = out["v"] + 10
+        return out
+
+    # max_casts=1: the chain always returns an event, so the simulate
+    # feedback loop would otherwise re-feed it until the 1000 bound
+    chain = compose_spells([{"cast": double}, {"cast": add_ten}])
+    r = simulate(chain, {"v": 5}, max_casts=1)
+    assert r.events[-1]["v"] == 20  # (5*2)+10
+
+    # a None mid-chain drops the event entirely
+    drop_low = {"cast": lambda ev: ev if ev["v"] >= 100 else None}
+    chain2 = compose_spells([{"cast": double}, drop_low, {"cast": add_ten}])
+    r2 = simulate(chain2, {"v": 5})
+    assert r2.casts == 1 and len(r2.events) == 1  # seed only; chain dropped it
+
+    # topic-scoped stage is SKIPPED (not a drop) on mismatch
+    topical = {"topic": "other", "cast": lambda ev: None}
+    chain3 = compose_spells([topical, {"cast": add_ten}])
+    r3 = simulate(chain3, {"$topic": "mine", "v": 1}, max_casts=1)
+    assert r3.events[-1]["v"] == 11
