@@ -240,3 +240,30 @@ def test_kv_store_range_query(spark, sf_dir, staged, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_rate_source_event_stream(spark):
+    """Synthetic rate-source events: same envelope as the events table,
+    usable as a soak/throughput source."""
+    stream = SRC.rate_stream(spark, rows_per_second=500)
+    assert [f.name for f in stream.schema.fields] == [
+        "event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props",
+    ]
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(processingTime="500 milliseconds").start()
+    )
+    try:
+        for _ in range(40):
+            if spark.table(name).count() > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    rows = spark.table(name).collect()
+    assert len(rows) > 0
+    for r in rows[:10]:
+        assert r["event_type"] in {"click", "view", "purchase", "signup", "error"}
+        assert r["ts_ns"] == int(r["ts"].timestamp() * 1_000_000) * 1000
