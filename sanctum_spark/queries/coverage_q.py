@@ -236,3 +236,72 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median"),
     )
+
+
+@register(
+    "q88_user_correlation",
+    """
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h, ROUND(SUM(value), 2) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           ROUND(corr(a.v, b.v) + 1e-9, 4) AS value_corr,
+           COUNT(*) AS n_hours
+    FROM hourly a JOIN hourly b
+      ON a.h = b.h AND a.user_id < b.user_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 5
+    """,
+    doc=(
+        "time-series similarity: per-user hourly value series aligned on "
+        "the hour bucket, pairwise Pearson correlation (self-join + corr "
+        "aggregate)."
+    ),
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.user_id") < F.col("b.user_id")))
+        .groupBy(
+            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
+        )
+        .agg(
+            stable_round(F.corr(F.col("a.v"), F.col("b.v")), 4).alias("value_corr"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+        .filter(F.col("n_hours") >= 5)
+    )
+
+
+@register(
+    "q89_dispersion",
+    """
+    SELECT event_type,
+           ROUND(stddev_samp(value) + 1e-9, 4)       AS sd,
+           ROUND(var_samp(value) + 1e-9, 4)          AS var,
+           ROUND(covar_samp(value,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT)) + 1e-9, 4)
+                                                     AS cov_vk,
+           ROUND(corr(value,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT)) + 1e-9, 6)
+                                                     AS corr_vk
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="dispersion aggregates: stddev/variance/covariance/correlation.",
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        stable_round(F.stddev_samp("value"), 4).alias("sd"),
+        stable_round(F.var_samp("value"), 4).alias("var"),
+        stable_round(F.covar_samp(F.col("value"), k), 4).alias("cov_vk"),
+        stable_round(F.corr(F.col("value"), k), 6).alias("corr_vk"),
+    )
