@@ -305,3 +305,24 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.covar_samp(F.col("value"), k), 4).alias("cov_vk"),
         stable_round(F.corr(F.col("value"), k), 6).alias("corr_vk"),
     )
+
+
+@register(
+    "q45_right_join",
+    """
+    SELECT n_nationkey, n_name, COALESCE(cnt, 0) AS n_suppliers
+    FROM (SELECT s_nationkey, COUNT(*) AS cnt FROM supplier GROUP BY 1) s
+    RIGHT JOIN nation ON s_nationkey = n_nationkey
+    """,
+    doc="right-outer join (dimension preserved side on the right).",
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    return supp.join(nat, supp.s_nationkey == nat.n_nationkey, "right").select(
+        "n_nationkey", "n_name", F.coalesce(F.col("cnt"), F.lit(0)).alias("n_suppliers")
+    )
