@@ -8,7 +8,9 @@ Writer rules:
 - integers: smallest signed family member — positive/negative fixint,
   then int8/int16/int32/int64 (src/zlmp.zig:281-315); never uint tags.
 - floats: float32 iff the narrowing is lossless, else float64
-  (src/zlmp.zig:333-360); NaN never compares equal so it goes float64.
+  (src/zlmp.zig:333-360); canBeFloat32WithoutLossOfPrecision
+  (src/zlmp.zig:353-360) explicitly returns true for NaN/Inf/±0, so
+  those all narrow to float32 on the wire.
 - strings: fixstr(≤31) / str8 / str16 / str32 (src/zlmp.zig:369-385).
 - tables: ALWAYS map32, even for sequences (src/zlmp.zig:207-215);
   Python lists are encoded as maps with integer keys 1..n to match the
@@ -67,12 +69,15 @@ def _pack_int(v: int, out: bytearray) -> None:
 
 
 def _pack_float(v: float, out: bytearray) -> None:
-    # float32 iff lossless (NaN intentionally fails the equality test).
+    # float32 iff lossless; NaN must be special-cased because NaN != NaN
+    # would otherwise fail the equality test, but the reference's
+    # canBeFloat32WithoutLossOfPrecision (src/zlmp.zig:353-360) returns
+    # true for NaN (and Inf/±0, which the equality path already passes).
     try:
         narrowed = struct.unpack(">f", struct.pack(">f", v))[0]
     except OverflowError:
         narrowed = None
-    if narrowed == v:
+    if narrowed == v or v != v:
         out.append(0xCA)
         out += struct.pack(">f", v)
     else:

@@ -92,8 +92,16 @@ def salted_join(
     AQE's skew-join split handles most cases automatically; salting is the
     explicit fallback when a single key exceeds what one task can hold
     (e.g. 10% of 100 TB on one join key).  Result is identical to a plain
-    equi-join on ``on``.
+    equi-join on ``on`` for ``how`` in {'inner', 'left'}; right/full outer
+    modes are rejected — the exploded right side would emit each unmatched
+    right row once per salt.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the right side is exploded n_salts times, so outer-right "
+            "modes would duplicate unmatched right rows"
+        )
     salt = F.floor(F.rand(seed=42) * n_salts).cast("int")
     l_salted = left.withColumn("_salt", salt)
     r_salted = right.withColumn(

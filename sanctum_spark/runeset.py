@@ -27,6 +27,7 @@ sinks:
 
 from __future__ import annotations
 
+import dataclasses
 import importlib
 from dataclasses import dataclass, field
 
@@ -86,9 +87,15 @@ def build_spells(runeset: Runeset) -> list[Spell]:
         name = entry.get("name", "spell")
         obj = _resolve(entry["module"]) if "module" in entry else entry.get("spell")
         spell = validate_spell(obj, name=name)
+        # validate_spell may pass through an existing Spell instance (e.g. a
+        # module-level ``spell`` object shared across runeset entries) —
+        # build a fresh one instead of mutating the shared object.
+        overrides: dict = {}
         if "topic" in entry and entry["topic"] is not None:
-            spell.topic = str(entry["topic"])
+            overrides["topic"] = str(entry["topic"])
         if "config" in entry and isinstance(entry["config"], dict):
-            spell.config.update(entry["config"])
+            overrides["config"] = {**spell.config, **entry["config"]}
+        if overrides:
+            spell = dataclasses.replace(spell, **overrides)
         out.append(spell)
     return out

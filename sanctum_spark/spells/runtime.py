@@ -27,8 +27,14 @@ TOPIC_KEY = "$topic"  # reference: src/main.zig:189
 
 def dump_event_url(event: dict) -> str:
     """Debug event sink: msgpack → base64 inspection URL
-    (reference: dumpEvent, src/main.zig:226-236)."""
+    (reference: dumpEvent, src/main.zig:226-236).
+
+    Reference quirk: dumpEvent url-escapes only the LAST '=' padding char
+    (lastIndexOf + in-place '%3D' overwrite, src/main.zig:230-234), so
+    '==' padding prints as '=%3D'."""
     b64 = base64.b64encode(pack(event)).decode("ascii")
+    if b64.endswith("="):
+        b64 = b64[:-1] + "%3D"
     return f"https://msgpack.dbrgn.ch/#base64={b64}"
 
 

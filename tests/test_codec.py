@@ -57,7 +57,12 @@ def test_int_width(value, expected_tag):
         (0.1, 0xCB),  # not representable in f32
         (10.5, 0xCA),
         (1e300, 0xCB),
-        (float("nan"), 0xCB),  # NaN != NaN → narrowing test fails → f64
+        # canBeFloat32WithoutLossOfPrecision (src/zlmp.zig:353-360) is
+        # explicitly true for NaN/Inf/±0 → all narrow to f32 on the wire.
+        (float("nan"), 0xCA),
+        (float("inf"), 0xCA),
+        (float("-inf"), 0xCA),
+        (-0.0, 0xCA),
     ],
 )
 def test_float_width(value, tag):

@@ -203,6 +203,20 @@ def test_salted_join_equivalence(spark, sf_dir):
     assert a == b
 
 
+def test_salted_join_rejects_outer_right_modes(spark, sf_dir):
+    """Right/full outer would emit unmatched right rows once per salt
+    (the right side is exploded) — salted_join must refuse them."""
+    import pytest
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            J.salted_join(li, orders, "l_orderkey", how=how)
+
+
 def test_embedding_neardup_completeness(spark, sf_dir):
     """LSH-bucketed near-dup pairs: every returned pair carries the true
     cosine; at a low threshold with few planes, recall vs the brute-force

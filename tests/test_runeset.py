@@ -40,6 +40,23 @@ def test_load_and_build(tmp_path):
     assert load_runeset(str(p)).spells == rs.spells
 
 
+def test_build_spells_does_not_mutate_shared_spell():
+    """A module-level Spell reused across runeset entries must not pick up
+    one entry's topic/config overrides (build_spells builds fresh copies)."""
+    from sanctum_spark.spells.registry import Spell
+
+    shared = Spell(name="shared", cast=lambda ev: None, topic="orig",
+                   config={"a": 1})
+    rs = Runeset(spells=[
+        {"name": "first", "spell": shared, "topic": "t1", "config": {"b": 2}},
+        {"name": "second", "spell": shared},
+    ])
+    built = build_spells(rs)
+    assert shared.topic == "orig" and shared.config == {"a": 1}
+    assert built[0].topic == "t1" and built[0].config == {"a": 1, "b": 2}
+    assert built[1].topic == "orig" and built[1].config == {"a": 1}
+
+
 def test_invalid_spell_entry_raises_registration_error():
     rs = Runeset(spells=[{"name": "broken", "spell": {}}])
     with pytest.raises(SpellMissingCastError):

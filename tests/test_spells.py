@@ -171,6 +171,34 @@ def test_dump_events():
     assert r.dumps[0].startswith("https://msgpack.dbrgn.ch/#base64=")
 
 
+def test_dump_event_url_escapes_only_last_padding():
+    """Reference dumpEvent (src/main.zig:230-234) replaces only the LAST
+    base64 '=' with '%3D' (lastIndexOf, in-place overwrite)."""
+    import base64 as b64mod
+
+    from sanctum_spark.codec.msgpack_codec import pack
+    from sanctum_spark.spells.runtime import dump_event_url
+
+    # Find payloads whose packed base64 ends with one and two '=' chars.
+    seen = {}
+    for i in range(40):
+        ev = {"k": "x" * i}
+        raw = b64mod.b64encode(pack(ev)).decode()
+        pad = len(raw) - len(raw.rstrip("="))
+        seen.setdefault(pad, (ev, raw))
+    for pad, (ev, raw) in seen.items():
+        url = dump_event_url(ev)
+        suffix = url.rsplit("base64=", 1)[1]
+        if pad == 0:
+            assert suffix == raw
+        elif pad == 1:
+            assert suffix == raw[:-1] + "%3D"
+        else:  # '==' → '=%3D': only the last one is escaped
+            assert suffix == raw[:-1] + "%3D"
+            assert suffix.endswith("=%3D")
+    assert {1, 2} <= set(seen), "expected both padding widths exercised"
+
+
 def test_compose_spells():
     from sanctum_spark.spells.registry import compose_spells
 

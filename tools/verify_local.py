@@ -1,0 +1,114 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.01 on a BARE
+SparkSession (no sanctum_spark.session confs — the driver uses its own
+session, see memory: driver-contract-gotchas) and compares against the
+DuckDB oracle the driver's way: row count, schema arity, and an
+order-insensitive value compare after sorting columns by name.
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+Writes tools/verify_local_out.json and prints one line per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) == 0:
+        return df.reset_index(drop=True)
+    order = df.astype(str).sort_values(by=list(df.columns)).index
+    return df.loc[order].reset_index(drop=True)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    # bare session: deliberately NOT sanctum_spark.session.get_spark
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("verify_local")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+    results: dict[str, dict] = {}
+    for name in sorted(qs):
+        if only and name not in only:
+            continue
+        rec: dict = {"rows_match": None, "schema_match": None,
+                     "hash_match": None, "err": None}
+        try:
+            got = canon(qs[name](spark, sf_dir).toPandas())
+            rec["spark_rows"] = len(got)
+            if name in oracles:
+                want = canon(con.sql(oracles[name]).df())
+                rec["oracle_rows"] = len(want)
+                rec["rows_match"] = len(got) == len(want)
+                rec["schema_match"] = list(got.columns) == list(want.columns)
+                try:
+                    pd.testing.assert_frame_equal(
+                        got, want, check_dtype=False, check_exact=True
+                    )
+                    rec["hash_match"] = True
+                except AssertionError as e:
+                    rec["hash_match"] = False
+                    rec["err"] = str(e)[:500]
+            else:
+                rec["rows_match"] = rec["spark_rows"] >= 0
+                rec["note"] = "rows-only (no oracle)"
+        except Exception:
+            rec["err"] = traceback.format_exc()[-800:]
+        ok = rec["err"] is None and rec["rows_match"] and (
+            rec["hash_match"] is not False) and (rec["schema_match"] is not False)
+        results[name] = rec
+        print(f"{'PASS' if ok else 'FAIL'} {name} "
+              f"rows={rec.get('spark_rows')}"
+              + (f" err={rec['err'][:200]}" if rec["err"] else ""))
+
+    out = os.path.join(REPO, "tools", "verify_local_out.json")
+    with open(out, "w") as fh:
+        json.dump(results, fh, indent=1, sort_keys=True)
+    n_fail = sum(
+        1 for r in results.values()
+        if r["err"] or r["rows_match"] is False
+        or r["hash_match"] is False or r["schema_match"] is False
+    )
+    print(f"# {len(results)} queries, {n_fail} failing -> {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
