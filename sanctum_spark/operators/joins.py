@@ -22,17 +22,36 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_r",
     tolerance: Column | None = None,
+    strategy: str = "rank",
 ) -> DataFrame:
     """For each left row, attach the single right row with the greatest
     ``right_time`` ≤ ``left_time`` (direction='backward'; 'forward' takes
     the least ≥), matching on equi-key(s).
 
-    Strategy: key-equi join + time inequality, then a ranking window keyed
-    by the left row identity.  One shuffle on the join key; AQE handles
-    skewed keys.  ``tolerance`` (a Column interval/long) bounds the band so
-    the intermediate join stays linear-ish in practice.
+    Two strategies, identical semantics:
+
+    - ``rank``: key-equi join + time inequality, then a ranking window
+      keyed by the left row identity.  Intermediate size = every
+      (left row × matching-band right row) pair — fine with a
+      ``tolerance`` band, quadratic-ish without one.
+    - ``merge``: union both sides into one per-key stream sorted by time
+      and carry the latest right payload forward with
+      ``last(ignorenulls)`` — the merge-scan as-of.  ZERO fan-out: one
+      shuffle on the key, one sort, intermediate size = |left| + |right|.
+      The strategy to use when right-side history per key is unbounded
+      (the 100 TB shape).  Requires ``left_time``/``right_time`` to be
+      comparable types (cast date → timestamp at the call site).
+
+    ``tolerance`` (a Column interval/long) bounds the band in both
+    strategies.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if strategy == "merge":
+        return _asof_merge(
+            left, right, keys, left_time, right_time, direction, suffix, tolerance
+        )
+    if strategy != "rank":
+        raise ValueError(f"strategy must be rank|merge, got {strategy!r}")
 
     # tag each left row with a stable identity for the ranking window
     tagged = left.withColumn("_asof_rid", F.monotonically_increasing_id())
@@ -75,6 +94,77 @@ def asof_join(
         .filter(F.col("_asof_rn") == 1)
         .drop("_asof_rn", "_asof_rid", *[f"_rk_{k}" for k in keys])
     )
+
+
+def _asof_merge(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_time: str,
+    right_time: str,
+    direction: str,
+    suffix: str,
+    tolerance: Column | None,
+) -> DataFrame:
+    """Merge-scan as-of: interleave both sides per key, ordered by time
+    with right rows first at equal times (inclusive bound), and carry the
+    latest right payload struct forward with last(ignorenulls).
+
+    Tie-break matches the rank strategy: the payload struct leads with
+    right_time then the remaining right columns in order, so the max
+    struct is the (right_time DESC, cols DESC) rank-1 row.
+    """
+    # rename right payload columns that clash with left column names
+    renamed = right
+    rtime = right_time
+    for c in right.columns:
+        if c in keys:
+            continue
+        if c in left.columns:
+            renamed = renamed.withColumnRenamed(c, c + suffix)
+            if c == rtime:
+                rtime = c + suffix
+    payload_cols = [c for c in renamed.columns if c not in keys]
+    ordered_payload = [rtime] + [c for c in payload_cols if c != rtime]
+
+    rpart = renamed.select(
+        *[F.col(k) for k in keys],
+        F.col(rtime).alias("_t"),
+        F.lit(0).alias("_kind"),
+        F.struct(*[F.col(c) for c in ordered_payload]).alias("_rpay"),
+    )
+    lpart = left.withColumn("_t", F.col(left_time)).withColumn("_kind", F.lit(1))
+    u = lpart.unionByName(rpart, allowMissingColumns=True)
+
+    if direction == "backward":
+        t_order = F.col("_t").asc_nulls_last()
+    elif direction == "forward":
+        t_order = F.col("_t").desc_nulls_last()
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(t_order, F.col("_kind").asc(), F.col("_rpay").asc_nulls_first())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = u.withColumn("_last", F.last("_rpay", ignorenulls=True).over(w)).filter(
+        F.col("_kind") == 1
+    )
+
+    # A null left_time never matches in the rank strategy (NULL comparison)
+    # — blank the carried payload to keep strategies identical.
+    valid = F.col(left_time).isNotNull() & F.col("_last").isNotNull()
+    if tolerance is not None:
+        lt, got_rt = F.col(left_time), F.col("_last")[rtime]
+        valid = valid & (
+            got_rt >= lt - tolerance
+            if direction == "backward"
+            else got_rt <= lt + tolerance
+        )
+    out = out.withColumn("_last", F.when(valid, F.col("_last")))
+    for c in ordered_payload:
+        out = out.withColumn(c, F.col("_last")[c])
+    return out.drop("_t", "_kind", "_rpay", "_last")
 
 
 def salted_join(

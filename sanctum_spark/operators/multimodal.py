@@ -2,17 +2,21 @@
 
 Images / audio / video ride as opaque ``binary`` payload columns with a
 typed metadata struct.  The Spark-side plumbing — schemas, Arrow-batched
-mapInPandas pipelines, partitioning by media size — is real and tested;
-the actual byte decoding is STUBBED (no image/audio libraries in this
-environment): ``decode_image`` raises ``NotImplementedError`` unless the
-deterministic fake decoder is selected, which derives a small fake pixel
-tensor from a content hash so downstream plumbing (batching, schema,
-feature shapes) is exercised end-to-end.
+mapInPandas pipelines, partitioning by media size — is real and tested.
+
+Decoding: uncompressed formats are decoded for REAL in pure Python —
+BMP (24-bit uncompressed), PPM (P6 binary / P3 ascii) and WAV (PCM
+8/16-bit) need only ``struct``/numpy.  Compressed formats (PNG/JPEG/MP3…)
+would need external libraries not present in this container, so those
+payloads raise ``NotImplementedError`` unless the deterministic fake
+decoder is allowed (content-hash-seeded tensor), which keeps the
+pipeline-shape tests runnable on arbitrary bytes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -70,19 +74,172 @@ def attach_media_columns(
     )
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-Python BMP decode → HxWx3 uint8 RGB.
+
+    Supports the uncompressed 24-bit form (BITMAPINFOHEADER, BI_RGB):
+    14-byte file header ('BM', pixel-data offset at byte 10), DIB header
+    with width/height/bpp/compression, 4-byte-padded BGR rows stored
+    bottom-up (top-down when height < 0).
+    """
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_offset,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    need = pix_offset + row_bytes * height
+    if len(payload) < need:
+        raise ValueError(f"BMP truncated: {len(payload)} < {need} bytes")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * height, offset=pix_offset
+    ).reshape(height, row_bytes)
+    bgr = rows[:, : width * 3].reshape(height, width, 3)
+    rgb = bgr[:, :, ::-1]
+    return (rgb if top_down else rgb[::-1]).copy()
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB → uncompressed 24-bit BMP bytes (decode_bmp's dual)."""
+    h, w, c = pixels.shape
+    assert c == 3
+    row_bytes = (w * 3 + 3) & ~3
+    pix_offset = 14 + 40
+    size = pix_offset + row_bytes * h
+    out = bytearray()
+    out += b"BM" + struct.pack("<IHHI", size, 0, 0, pix_offset)
+    out += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_bytes * h, 2835, 2835, 0, 0)
+    bgr = pixels[::-1, :, ::-1].astype(np.uint8)  # bottom-up, BGR
+    pad = bytes(row_bytes - w * 3)
+    for row in bgr:
+        out += row.tobytes() + pad
+    return bytes(out)
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-Python PPM decode → HxWx3 uint8 RGB (P6 binary and P3 ascii,
+    maxval ≤ 255, '#' comments allowed in the header)."""
+    if payload[:2] not in (b"P6", b"P3"):
+        raise ValueError("not a PPM payload")
+    binary = payload[:2] == b"P6"
+    # header = magic + 3 ascii ints, whitespace-separated, with comments
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("PPM header truncated")
+        ch = payload[pos : pos + 1]
+        if ch == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif ch.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    if binary:
+        pos += 1  # single whitespace after maxval, then raster
+        raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    else:
+        raster = np.array(payload[pos:].split(), dtype=np.int64).astype(np.uint8)
+        if raster.size != w * h * 3:
+            raise ValueError("P3 raster size mismatch")
+    return raster.reshape(h, w, 3).copy()
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB → binary P6 PPM bytes."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-Python WAV (RIFF) decode → (float32 samples in [-1, 1] with
+    shape (n_frames, n_channels), sample_rate).  PCM 8-bit unsigned and
+    16-bit signed little-endian supported."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, csize = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"only PCM WAV supported (format={audio_format})")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"unsupported WAV bit depth: {bits}")
+    n_frames = len(samples) // n_channels
+    return samples[: n_frames * n_channels].reshape(n_frames, n_channels), sample_rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n_frames, n_channels) float32 in [-1, 1] → 16-bit PCM WAV bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_channels = samples.shape[1]
+    pcm = np.clip(samples * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16,
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
-    STUB: real decoding needs an image library not present in this
-    container.  ``fake=True`` selects the deterministic fake decoder
-    (content-hash-seeded 8x8x3 tensor) used to exercise the pipeline.
+    Real pure-Python decoders handle BMP and PPM (sniffed by magic).
+    Compressed formats need an imaging library not present in this
+    container; for those, ``fake=True`` selects the deterministic fake
+    decoder (content-hash-seeded 8x8x3 tensor) so pipeline-shape tests
+    still run on arbitrary bytes.
     """
+    payload = payload or b""
+    if payload[:2] in (b"BM", b"P6", b"P3"):
+        try:
+            return (
+                decode_bmp(payload) if payload[:2] == b"BM" else decode_ppm(payload)
+            )
+        except (ValueError, NotImplementedError):
+            # magic matched but the payload is malformed/unsupported —
+            # with fake=True fall through to the deterministic decoder
+            # (arbitrary text bytes can start with 'BM'), else re-raise
+            if not fake:
+                raise
     if not fake:
         raise NotImplementedError(
-            "image decoding requires an imaging library not available here; "
-            "use fake=True for the deterministic test decoder"
+            "payload is not BMP/PPM; compressed formats require an imaging "
+            "library not available here (use fake=True for the "
+            "deterministic test decoder)"
         )
-    digest = hashlib.sha256(payload or b"").digest()
+    digest = hashlib.sha256(payload).digest()
     rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
     return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
 
@@ -94,23 +251,41 @@ def extract_features(
 
     The pipeline shape is the production one — Arrow batches in, one
     feature row per media item out, decode isolated per item so one bad
-    payload doesn't kill the batch — only the decoder itself is fake.
+    payload doesn't kill the batch.  BMP/PPM images and PCM WAV audio
+    decode for real (pure Python); other byte formats fall back to the
+    fake decoder when ``fake_decode`` (else a zero feature).
     At scale: repartition upstream by size so batches are byte-balanced,
     and keep features narrow (the payload column is dropped before any
     further shuffle).
+
+    Features: image → [mean_R, mean_G, mean_B] in [0,1]; audio →
+    [rms, mean_abs, zero_crossing_rate] over the mono mix.
     """
+
+    def one_feature(payload: bytes, modality: str) -> np.ndarray:
+        if modality == "audio":
+            samples, _rate = decode_wav(payload)
+            mono = samples.mean(axis=1)
+            zcr = (
+                float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                if len(mono) > 1
+                else 0.0
+            )
+            return np.array(
+                [float(np.sqrt(np.mean(mono**2))), float(np.mean(np.abs(mono))), zcr],
+                dtype=np.float32,
+            )
+        pixels = decode_image(payload, fake=fake_decode)
+        return pixels.astype(np.float32).mean(axis=(0, 1)) / 255.0
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "modality": [], "feature": [], "n_bytes": []}
             for _, row in pdf.iterrows():
-                payload = row["payload"] if row["payload"] is not None else b""
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
                 try:
-                    pixels = decode_image(bytes(payload), fake=fake_decode)
-                    feat = (
-                        pixels.astype(np.float32).mean(axis=(0, 1)) / 255.0
-                    )  # 3-dim channel-mean embedding
-                except NotImplementedError:
+                    feat = one_feature(payload, row["modality"])
+                except (NotImplementedError, ValueError):
                     feat = np.zeros(3, dtype=np.float32)
                 out["media_id"].append(row["media_id"])
                 out["modality"].append(row["modality"])

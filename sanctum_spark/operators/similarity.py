@@ -121,6 +121,26 @@ class RandomHyperplaneLSH:
         return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def sized_lsh(
+    n: int,
+    dim: int,
+    target_bucket: int = 1024,
+    n_tables: int = 1,
+    min_planes: int = 4,
+    max_planes: int = 24,
+    seed: int = 42,
+) -> RandomHyperplaneLSH:
+    """Size SRP-LSH to the corpus: n_planes ≈ log2(n / target_bucket), so
+    the expected bucket population stays ≤ ~target_bucket as the corpus
+    grows (a fixed plane count makes within-bucket pair joins quadratic
+    again at 100×). Clamped to [min_planes, max_planes]; the total
+    signature holds ``n_tables`` independent bands of that width.
+    """
+    need = math.ceil(math.log2(max(n, 1) / max(target_bucket, 1))) if n > target_bucket else 0
+    per_band = min(max(min_planes, need), max_planes)
+    return RandomHyperplaneLSH(dim=dim, n_planes=per_band * max(n_tables, 1), seed=seed)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.9,
@@ -128,43 +148,86 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     lsh: RandomHyperplaneLSH | None = None,
     dim: int | None = None,
+    n_tables: int = 1,
+    target_bucket: int = 1024,
 ) -> DataFrame:
     """Vector-space near-duplicate pairs: (id_a, id_b, cos_sim) with
     cos_sim ≥ threshold and id_a < id_b.
 
-    With an ``lsh`` (or by default one sized at 4 planes), candidate pairs
-    are generated per bucket — near-identical vectors land in the same
-    bucket with probability (1 - θ/π)^planes, which → 1 as θ → 0, so true
-    near-duplicates are rarely split while the pair count drops by ~2^planes.
-    Pass ``lsh=None`` explicitly sized to the corpus at real scale.
+    Scale shape: with no explicit ``lsh``, planes are DERIVED from the
+    corpus count via ``sized_lsh`` (expected bucket ≤ ``target_bucket``),
+    so the within-bucket pair join stays ~n·target_bucket/2 instead of
+    n²/2^const. The pair-generation join carries only (band, id) — 16
+    bytes/row — and vectors are joined back to the surviving candidate
+    pairs only (linear), mirroring the MinHash-LSH candidate shape.
+
+    ``n_tables`` > 1 bands the signature into independent tables (union of
+    per-band candidates, distinct): the recall knob — a true near-dup pair
+    survives if it agrees in ALL bits of ANY band, P = 1-(1-p^b)^L for
+    per-bit collision p = 1-θ/π.
+
+    The corpus ``df.count()`` here is a one-scalar parameter fetch; at
+    production scale pass ``lsh`` pre-sized from table statistics instead.
     """
     if lsh is None:
         if dim is None:
             dim = len(df.select(vec_col).first()[0])
-        lsh = RandomHyperplaneLSH(dim=dim, n_planes=4, seed=42)
-    # precompute the double vector + its norm once per ROW before the pair
-    # join: cosine then costs one dot product (+ mul/div) per pair instead
-    # of three dots with per-pair casts.  The norm rides as a scalar
-    # column rather than normalizing elements in-place — dividing inside a
-    # transform lambda would re-inline the norm subexpression per element
-    # (Catalyst has no lambda CSE; see operators.dedup._let).
+        lsh = sized_lsh(df.count(), dim, target_bucket, n_tables)
+    bands = max(n_tables, 1)
+    width = lsh.n_planes // bands
+    if width < 1:
+        raise ValueError(f"n_tables={n_tables} exceeds n_planes={lsh.n_planes}")
+
+    # Slim candidate stage: explode the signature into per-band keys and
+    # self-join on (band, key) with only ids as payload.
+    mask = (1 << width) - 1
+    sig = lsh.bucketize(df, vec_col).select(F.col(id_col).alias("id"), "bucket")
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("t"),
+                F.shiftright("bucket", i * width).bitwiseAND(F.lit(mask)).alias("k"),
+            )
+            for i in range(bands)
+        ]
+    )
+    slim = sig.select("id", F.explode(band_keys).alias("band")).select(
+        "id", F.col("band.t").alias("t"), F.col("band.k").alias("k")
+    )
+    a1, a2 = slim.alias("a"), slim.alias("b")
+    cand = (
+        a1.join(
+            a2,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    # Exact-cosine verification on candidates only. The double vector +
+    # its norm are precomputed once per ROW: cosine then costs one dot
+    # product per pair, and the norm rides as a scalar column — dividing
+    # inside a transform lambda would re-inline the norm subexpression per
+    # element (Catalyst has no lambda CSE; see operators.dedup._let).
     dvec = _as_double(vec_col)
-    b = lsh.bucketize(df, vec_col).select(
+    vecs = df.select(
         F.col(id_col).alias("id"),
         dvec.alias("vec"),
         F.sqrt(_dot(dvec, dvec)).alias("nrm"),
-        "bucket",
     )
-    a1, a2 = b.alias("a"), b.alias("b")
-    pairs = a1.join(
-        a2,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    va = vecs.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a")
     )
-    sim = _dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
+    vb = vecs.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
+    )
+    sim = _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
-        pairs.select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("cos_sim")
-        )
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 

@@ -127,25 +127,31 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "as-of join: each event matched to the most recent prior order of "
-        "the same user (equi-key + time inequality, resolved by ranking)."
+        "the same user. Uses the merge-scan strategy (union + per-user "
+        "last(ignorenulls) over the time-interleaved stream): zero "
+        "fan-out, intermediate size |events| + |orders| regardless of "
+        "per-user history depth — the rank strategy's pre-rank join grows "
+        "linearly with order history per event. Oracle SQL stays the "
+        "rank-based spec; identical results prove the strategies agree."
     ),
 )
 def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    orders = load_table(spark, sf_dir, "orders")
-    joined = ev.join(
+    from sanctum_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("o_date_ts"),
+        "o_orderkey",
+    )
+    return asof_join(
+        ev,
         orders,
-        (orders.o_custkey == ev.user_id) & (orders.o_orderdate <= ev.ts),
-        "left",
-    )
-    w = W.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
-    )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", F.col("o_orderkey").alias("last_orderkey"))
-    )
+        on="user_id",
+        left_time="ts",
+        right_time="o_date_ts",
+        strategy="merge",
+    ).select("event_id", "user_id", F.col("o_orderkey").alias("last_orderkey"))
 
 
 @register(

@@ -13,7 +13,11 @@ from sanctum_spark.operators import joins as J
 from sanctum_spark.spells import Spell, loop_spell
 
 
-def test_asof_join_matches_bruteforce_random(spark):
+import pytest
+
+
+@pytest.mark.parametrize("strategy", ["rank", "merge"])
+def test_asof_join_matches_bruteforce_random(spark, strategy):
     rng = random.Random(7)
     left = [
         (i, rng.randint(0, 5), rng.randint(0, 1000)) for i in range(300)
@@ -28,7 +32,7 @@ def test_asof_join_matches_bruteforce_random(spark):
     got = {
         r["lid"]: r["rid"]
         for r in J.asof_join(
-            ldf, rdf, on="key", left_time="t", right_time="rt"
+            ldf, rdf, on="key", left_time="t", right_time="rt", strategy=strategy
         ).collect()
     }
 
@@ -38,6 +42,30 @@ def test_asof_join_matches_bruteforce_random(spark):
         cands = [(rt, rid) for (rid, k, rt, _) in right if k == key and rt <= t]
         want = max(cands)[1] if cands else None
         assert got[lid] == want, (lid, key, t, cands)
+
+
+@pytest.mark.parametrize("strategy", ["rank", "merge"])
+def test_asof_forward_and_tolerance_both_strategies(spark, strategy):
+    ldf = spark.createDataFrame([(1, 1, 100), (2, 1, 40)], "lid long, key long, t long")
+    rdf = spark.createDataFrame(
+        [(10, 1, 50), (11, 1, 150), (12, 1, 120)], "rid long, key long, rt long"
+    )
+    fwd = {
+        r["lid"]: r["rid"]
+        for r in J.asof_join(
+            ldf, rdf, on="key", left_time="t", right_time="rt",
+            direction="forward", strategy=strategy,
+        ).collect()
+    }
+    assert fwd == {1: 12, 2: 10}  # least rt >= t
+    tol = {
+        r["lid"]: r["rid"]
+        for r in J.asof_join(
+            ldf, rdf, on="key", left_time="t", right_time="rt",
+            tolerance=F.lit(30), strategy=strategy,
+        ).collect()
+    }
+    assert tol == {1: None, 2: None}  # 50 < 100-30; nothing <= 40
 
 
 def test_asof_forward_direction(spark):

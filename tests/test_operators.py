@@ -164,9 +164,91 @@ def test_multimodal_pipeline(spark, sf_dir):
     }
 
 
-def test_real_decoder_is_stubbed():
+def test_compressed_formats_still_stubbed():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG...", fake=False)
+
+
+def test_bmp_roundtrip_real_decode():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for h, w in [(1, 1), (3, 5), (8, 8), (5, 3)]:  # odd widths hit row padding
+        pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        blob = M.encode_bmp(pixels)
+        assert (M.decode_bmp(blob) == pixels).all()
+        # via the sniffing front door, without fake
+        assert (M.decode_image(blob, fake=False) == pixels).all()
+
+
+def test_ppm_roundtrip_and_ascii_variant():
+    import numpy as np
+
+    pixels = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert (M.decode_ppm(M.encode_ppm(pixels)) == pixels).all()
+    p3 = b"P3\n# comment\n3 2\n255\n" + " ".join(
+        str(int(v)) for v in pixels.reshape(-1)
+    ).encode()
+    assert (M.decode_ppm(p3) == pixels).all()
+
+
+def test_wav_roundtrip_real_decode():
+    import numpy as np
+
+    t = np.arange(800) / 8000.0
+    mono = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    blob = M.encode_wav(mono, 8000)
+    samples, rate = M.decode_wav(blob)
+    assert rate == 8000 and samples.shape == (800, 1)
+    assert float(np.abs(samples[:, 0] - mono).max()) < 1e-3
+    # stereo
+    stereo = np.stack([mono, -mono], axis=1)
+    s2, _ = M.decode_wav(M.encode_wav(stereo, 8000))
+    assert s2.shape == (800, 2)
+
+
+def test_extract_features_real_no_fake(spark):
+    """End-to-end: real BMP + WAV payloads through the mapInPandas feature
+    pipeline with fake_decode=False — no stub in the path."""
+    import numpy as np
+
+    red = np.zeros((4, 4, 3), dtype=np.uint8)
+    red[:, :, 0] = 255
+    silence = np.zeros(100, dtype=np.float32)
+    rows = [
+        (1, "image", bytearray(M.encode_bmp(red))),
+        (2, "audio", bytearray(M.encode_wav(silence, 8000))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, modality string, payload binary")
+    media = df.withColumn(
+        "meta",
+        F.expr(
+            "named_struct('mime', CAST(NULL AS STRING), 'width', CAST(NULL AS INT),"
+            " 'height', CAST(NULL AS INT), 'duration_ms', CAST(NULL AS BIGINT),"
+            " 'source_uri', CAST(NULL AS STRING))"
+        ),
+    )
+    feats = {r["media_id"]: r for r in M.extract_features(media, fake_decode=False).collect()}
+    img = feats[1]["feature"]
+    assert abs(img[0] - 1.0) < 1e-6 and abs(img[1]) < 1e-6 and abs(img[2]) < 1e-6
+    aud = feats[2]["feature"]
+    assert aud == [0.0, 0.0, 0.0] or all(abs(v) < 1e-6 for v in aud)
+
+
+def test_resize_real_bmp(spark):
+    """Block-mean resize over a REAL decoded BMP: a half-black/half-white
+    image must average to mid-gray in every output block row."""
+    import numpy as np
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[:, 4:, :] = 255  # left half black, right half white
+    df = spark.createDataFrame(
+        [(7, "image", bytearray(M.encode_bmp(img)))],
+        "media_id long, modality string, payload binary",
+    )
+    out = M.resize_images(df, height=2, width=2, fake_decode=False).collect()[0]
+    resized = np.frombuffer(bytes(out["payload"]), dtype=np.uint8).reshape(2, 2, 3)
+    assert (resized[:, 0, :] == 0).all() and (resized[:, 1, :] == 255).all()
 
 
 def test_frame_sampling(spark, sf_dir):
@@ -239,6 +321,22 @@ def test_embedding_neardup_completeness(spark, sf_dir):
     }
     for (a, b), sim in got.items():
         assert abs(truth[(a, b)] - sim) < 1e-9
+    # banding (n_tables>1) can only ADD candidate pairs: every single-table
+    # pair must survive, and the planted exact dup is still found
+    banded = S.embedding_near_duplicates(data, threshold=0.3, n_tables=2)
+    got_banded = {(r["id_a"], r["id_b"]) for r in banded.collect()}
+    assert set(got) <= got_banded
+    assert (0, 1_000_000) in got_banded
+
+
+def test_sized_lsh_tracks_corpus():
+    """Plane count must grow with the corpus so expected bucket population
+    stays <= target_bucket (fixed planes = quadratic pair joins at 100x)."""
+    assert S.sized_lsh(500, 8).n_planes == 4  # floor
+    assert S.sized_lsh(1 << 20, 8, target_bucket=1024).n_planes == 10
+    assert S.sized_lsh(5_000_000_000, 8, target_bucket=1024).n_planes == 23
+    assert S.sized_lsh(1 << 60, 8).n_planes == 24  # cap
+    assert S.sized_lsh(1 << 20, 8, target_bucket=1024, n_tables=4).n_planes == 40
 
 
 def test_resize_images_shapes(spark, sf_dir):
