@@ -53,6 +53,47 @@ def test_decrement_counter_cli(tmp_path):
     assert p.stderr == ""
 
 
+def test_decrement_counter_float_cli(tmp_path):
+    """Byte parity with the reference golden suite decrement-counter-float
+    (src/tests/test-suite/decrement-counter-float/stdout.assert): float
+    counter, %.1f formatting, implicit nil return ends the loop."""
+    spell = (
+        "def cast(event):\n"
+        "    if event['counter'] > 1:\n"
+        "        event['counter'] = event['counter'] - 1\n"
+        "        print(f\"The counter is now {event['counter']:.1f}.\")\n"
+        "        return event\n"
+        "    print('The counter is too small now, stopping.')\n"
+        "spell = {'cast': cast}\n"
+    )
+    p = run_cast(tmp_path, spell, "seed = {'counter': 10.5}\n")
+    assert p.returncode == 0
+    want = "".join(
+        f"The counter is now {v / 10:.1f}.\n" for v in range(95, -5, -10)
+    ) + "The counter is too small now, stopping.\n"
+    assert p.stdout == want
+    assert p.stderr == ""
+
+
+def test_decrement_counter_implicit_return_cli(tmp_path):
+    """Byte parity with decrement-counter-implicit-return
+    (src/tests/test-suite/decrement-counter-implicit-return/stdout.assert):
+    falling off the end of cast (implicit None) stops the loop."""
+    spell = (
+        "def cast(event):\n"
+        "    if event['counter'] > 1:\n"
+        "        event['counter'] = event['counter'] - 1\n"
+        "        print(f\"The counter is now {event['counter']}.\")\n"
+        "        return event\n"
+        "    print('The counter has reached 0, stopping.')\n"
+        "spell = {'cast': cast}\n"
+    )
+    p = run_cast(tmp_path, spell, "seed = {'counter': 2}\n")
+    assert p.returncode == 0
+    assert p.stdout == "The counter is now 1.\nThe counter has reached 0, stopping.\n"
+    assert p.stderr == ""
+
+
 def test_topic_filtering_cli(tmp_path):
     spell = (
         "spell = {'topic': 'counter', 'cast': lambda e: print('Received an event!')}\n"
