@@ -232,6 +232,89 @@ def embedding_near_duplicates(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a ``list_id`` column: index of the nearest centroid by cosine.
+
+    Centroids are a small driver-side parameter (k × dim floats) compiled
+    into the scan expression — assignment is a pure projection, no shuffle,
+    no UDF. Ties break to the lowest list id.
+    """
+    vec = _as_double(vec_col)
+    nrm = F.sqrt(_dot(vec, vec))
+    scored = []
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        cos = _dot(vec, carr) / (nrm * F.lit(cn))
+        # max of (cos, -i) structs → highest cosine, lowest i on ties
+        scored.append(F.struct(cos.alias("s"), F.lit(-i).alias("ni")))
+    best = F.array_max(F.array(*scored))
+    return df.withColumn("list_id", (-best["ni"]).cast("int"))
+
+
+def ivf_train(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iters: int = 2,
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: seed with the k lowest-id
+    vectors, then ``n_iters`` Lloyd steps (assign via projection, new
+    means via posexplode + partial agg). Only k × dim scalars ever reach
+    the driver — a parameter fetch, not a data collect.
+
+    At 100 TB: train on a sampled fraction, then ``ivf_assign`` + write
+    partitioned by ``list_id`` so searches are partition-pruned scans
+    (the IVF analog of the LSH bucket layout).
+    """
+    seeds = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+    for _ in range(n_iters):
+        rows = (
+            ivf_assign(df, centroids, vec_col)
+            .select("list_id", F.posexplode(_as_double(vec_col)).alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_list: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_list.setdefault(r["list_id"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [by_list[i][p] for p in sorted(by_list[i])] if i in by_list else c
+            for i, c in enumerate(centroids)
+        ]
+    return centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN search: rank centroids against the query driver-side, scan
+    only the ``n_probes`` nearest inverted lists, exact cosine inside."""
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+
+    def cos_to(c: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
+
+    ranked = sorted(range(len(centroids)), key=lambda i: (-cos_to(centroids[i]), i))
+    probes = ranked[:n_probes]
+    cand = assigned.filter(F.col("list_id").isin(probes))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
 def cosine_self_join_topk(
     df: DataFrame,
     k: int = 5,

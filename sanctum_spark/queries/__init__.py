@@ -58,6 +58,7 @@ def load_all_modules() -> None:
         spells_q,
         ops_q,
         coverage_q,
+        pipeline_q,
     )
 
 

@@ -1,0 +1,269 @@
+"""Training-data-pipeline queries: corpus cleaning, exact n-gram Jaccard,
+deterministic stratified sampling, IVF ANN, funnel analysis, array
+higher-order functions.
+
+These extend the reference's event/query surface with the operations a
+large-scale LLM data pipeline needs (builder brief): every oracle here is
+exact-deterministic so the driver's hash compare stays meaningful.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sanctum_spark.io import load_table
+from sanctum_spark.queries import register
+from sanctum_spark.queries.util import stable_round
+
+
+@register(
+    "q91_ngram_jaccard",
+    r"""
+    WITH sh AS (
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 1)),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+              FROM documents)
+    ),
+    ex AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT id, len(shingles) AS n_sh FROM sh)
+    SELECT id_a, id_b,
+           ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) + 1e-9, 6)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.4
+    """,
+    doc=(
+        "exact word-3-gram Jaccard near-dup pairs (threshold 0.4) — the "
+        "ground-truth dedup operator that validates MinHash (q74). "
+        "Quadratic only over docs sharing a shingle; the scale path is "
+        "q74's banded MinHash. Full SQL oracle (DuckDB list slicing is "
+        "inclusive: toks[i:i+2] = 3 tokens)."
+    ),
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=3, threshold=0.4)
+    return out.select(
+        "id_a", "id_b", stable_round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+@register(
+    "q92_corpus_clean",
+    r"""
+    WITH d AS (
+        SELECT doc_id, lang, md5(text) AS digest,
+               length(text) AS n_len,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    ),
+    keep AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+        FROM d
+    )
+    SELECT doc_id, lang, digest, n_len, n_tokens
+    FROM keep
+    WHERE rn = 1 AND n_tokens >= 10 AND n_len >= 100 AND n_len <= 20000
+    """,
+    doc=(
+        "end-to-end corpus cleaning: exact dedup (lowest doc_id kept per "
+        "md5 digest, via the struct-min drop_exact_duplicates operator — "
+        "one shuffle, no join-back) + token/length quality gates. The "
+        "md5 digest matches across Spark and DuckDB so the whole pipeline "
+        "is hash-verified."
+    ),
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.dedup import drop_exact_duplicates
+    from sanctum_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    kept = drop_exact_duplicates(docs, "text", "doc_id")
+    return (
+        kept.select(
+            "doc_id",
+            "lang",
+            F.md5("text").alias("digest"),
+            F.length("text").cast("long").alias("n_len"),
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+        .filter(
+            (F.col("n_tokens") >= 10)
+            & (F.col("n_len") >= 100)
+            & (F.col("n_len") <= 20000)
+        )
+    )
+
+
+@register(
+    "q93_stratified_sample",
+    """
+    SELECT doc_id, lang, bucket
+    FROM (
+        SELECT doc_id, lang,
+               strpos('0123456789abcdef', substr(md5(text), 32, 1)) AS bucket
+        FROM documents
+    )
+    WHERE (lang = 'en' AND bucket <= 2) OR (lang <> 'en' AND bucket <= 8)
+    """,
+    doc=(
+        "deterministic content-hash stratified sampling: per-language "
+        "rates (en 2/16, others 8/16) keyed on the last md5 hex digit — "
+        "reproducible across engines/runs/clusters, no RNG state, and at "
+        "scale a pure scan-side filter (no shuffle). The downsample-the-"
+        "dominant-language shape of corpus curation."
+    ),
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr("instr('0123456789abcdef', substring(md5(text), 32, 1))")
+    return (
+        docs.select("doc_id", "lang", bucket.cast("long").alias("bucket"))
+        .filter(
+            ((F.col("lang") == "en") & (F.col("bucket") <= 2))
+            | ((F.col("lang") != "en") & (F.col("bucket") <= 8))
+        )
+    )
+
+
+@register(
+    "q94_ann_ivf",
+    None,
+    doc=(
+        "IVF approximate nearest neighbors: deterministic Lloyd-trained "
+        "coarse centroids (k=8, driver holds k*dim scalars only), "
+        "projection-side list assignment, search scans the 3 nearest "
+        "inverted lists with exact cosine inside. Rows-only (sketch-"
+        "style op); soundness + determinism vs brute force asserted in "
+        "tests/test_operators.py. At 100 TB: train on a sample, write "
+        "partitioned by list_id, searches become partition-pruned scans."
+    ),
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.similarity import ivf_assign, ivf_topk, ivf_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    centroids = ivf_train(corpus, k=8, n_iters=1)
+    assigned = ivf_assign(corpus, centroids)
+    return ivf_topk(assigned, centroids, qvec, k=10, n_probes=3)
+
+
+@register(
+    "q95_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY 1
+    )
+    SELECT v.user_id,
+           epoch_us(t_view) AS t_view_us,
+           epoch_us(t_click) AS t_click_us,
+           epoch_us(t_purchase) AS t_purchase_us
+    FROM v
+    JOIN c ON c.user_id = v.user_id
+    JOIN p ON p.user_id = v.user_id
+    """,
+    doc=(
+        "ordered conversion funnel view -> click -> purchase: first view, "
+        "first click strictly after it, first purchase strictly after "
+        "that. Three semi-shaped aggregations on the user key (one "
+        "shuffle each, broadcastable intermediates); timestamps exported "
+        "as epoch micros for exact cross-engine compare."
+    ),
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id")
+        .join(p, "user_id")
+        .select(
+            "user_id",
+            F.unix_micros("t_view").alias("t_view_us"),
+            F.unix_micros("t_click").alias("t_click_us"),
+            F.unix_micros("t_purchase").alias("t_purchase_us"),
+        )
+    )
+
+
+@register(
+    "q96_array_higher_order",
+    """
+    SELECT vec_id,
+           ROUND(sqrt(list_aggregate(
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+               + 1e-9, 6) AS l2_norm,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           ROUND(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) + 1e-9, 6) AS max_abs,
+           len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) > 2.0)) > 0
+               AS has_outlier
+    FROM embeddings
+    """,
+    doc=(
+        "array higher-order functions over the embedding column: "
+        "aggregate (fold), filter, transform, exists — all JVM-side "
+        "lambda expressions inside whole-stage codegen, zero Python. "
+        "Fold order is left-to-right in both engines so the float sums "
+        "hash-match."
+    ),
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    sumsq = F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    return emb.select(
+        "vec_id",
+        stable_round(F.sqrt(sumsq), 6).alias("l2_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        stable_round(F.array_max(F.transform(vec, lambda x: F.abs(x))), 6).alias(
+            "max_abs"
+        ),
+        F.exists(vec, lambda x: F.abs(x) > 2.0).alias("has_outlier"),
+    )

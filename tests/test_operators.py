@@ -299,6 +299,36 @@ def test_salted_join_rejects_outer_right_modes(spark, sf_dir):
             J.salted_join(li, orders, "l_orderkey", how=how)
 
 
+def test_ivf_results_are_sound(spark, sf_dir):
+    """IVF ANN: every hit carries the true cosine, comes from the real
+    corpus, is drawn only from probed lists, and the search is
+    deterministic across runs (seeded by lowest-id vectors, no RNG)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    centroids = S.ivf_train(corpus, k=8, n_iters=2)
+    assert len(centroids) == 8 and all(len(c) == len(qvec) for c in centroids)
+    assigned = S.ivf_assign(corpus, centroids)
+    # every vector lands in exactly one of the k lists
+    lists = {r["list_id"] for r in assigned.select("list_id").distinct().collect()}
+    assert lists <= set(range(8))
+    hits = S.ivf_topk(assigned, centroids, qvec, k=10, n_probes=3).collect()
+    assert 0 < len(hits) <= 10
+    exact = {
+        r["vec_id"]: r["cos_sim"]
+        for r in S.cosine_topk(corpus, qvec, k=600).collect()
+    }
+    for row in hits:
+        assert row["vec_id"] in exact
+        assert abs(row["cos_sim"] - exact[row["vec_id"]]) < 1e-9
+    again = S.ivf_topk(assigned, centroids, qvec, k=10, n_probes=3).collect()
+    assert [r["vec_id"] for r in again] == [r["vec_id"] for r in hits]
+    # full probe (all lists) must equal exact brute-force top-10
+    full = S.ivf_topk(assigned, centroids, qvec, k=10, n_probes=8).collect()
+    brute = S.cosine_topk(corpus, qvec, k=10).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in brute]
+
+
 def test_embedding_neardup_completeness(spark, sf_dir):
     """LSH-bucketed near-dup pairs: every returned pair carries the true
     cosine; at a low threshold with few planes, recall vs the brute-force
