@@ -52,14 +52,22 @@ def drop_exact_duplicates(df: DataFrame, content_col: str, id_col: str) -> DataF
 
 
 def shingle_tokens(text_col: str | Column, k: int = 3) -> Column:
-    """Distinct word k-shingles of a text column (JVM-side only)."""
+    """Distinct word k-shingles of a text column (JVM-side only).
+
+    ``toks`` MUST be _let-bound: it is referenced inside the transform
+    lambda (once per shingle), and Catalyst would otherwise inline the
+    ``split`` into every use site — O(tokens²) per document (measured:
+    a 66k-shingle explode at sf0.1 took 101 s un-bound, <2 s bound).
+    """
     col = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(F.lower(col), r"\s+")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    )
+
+    def shingles_of(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        )
+
+    return _let(F.split(F.lower(col), r"\s+"), shingles_of)
 
 
 def _let(value: Column, body) -> Column:
@@ -259,32 +267,64 @@ def ngram_jaccard_pairs(
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document, JVM-side.
+    """64-bit SimHash per document, JVM-side, ZERO shuffle.
 
     Each token votes ±1 on every bit of xxhash64(token); the fingerprint
-    takes the sign of each bit-sum.  Expressed as an explode + groupBy:
-    one shuffle on the doc id with map-side partial aggregation, no Python
-    in the path.  (A shuffle-free 64-filter array-fold variant was
-    measured ~2x slower at sf0.1 — 64 separate array traversals lose to
-    the partial agg.)
+    takes the sign of each bit-sum.  Computed scan-side as ONE
+    higher-order fold per document: ``aggregate`` over the token array
+    accumulating a 64-long vote vector via ``zip_with`` (the token hash
+    bound once with ``_let`` — Catalyst has no lambda CSE), then a second
+    fold packs sign bits into the fingerprint.
+
+    History: an explode + 64-column groupBy (one shuffle, map-side
+    partials) was the round-1 shape; its 64 aggregate expressions made a
+    plan whose fresh-instantiation planning+codegen cost ~1.4 s regardless
+    of data size, and at sf0.1 it measured 1.8 s vs 0.26 s for this fold —
+    plus at 100 TB this form shuffles nothing at all for fingerprinting.
+    (``shiftright``/``shiftleft`` go through ``call_function`` because the
+    Python wrappers only accept int shift amounts, and inside a lambda the
+    bit index is a Column.)
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    summed = toks.groupBy("id").agg(*votes)
-    fp = None
-    for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        fp = term if fp is None else fp.bitwiseXOR(term)
-    return summed.select("id", fp.alias("simhash"))
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    seq = F.sequence(F.lit(0), F.lit(bits - 1))
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: _let(
+            F.xxhash64(t),
+            lambda h: F.zip_with(
+                acc,
+                F.transform(
+                    seq,
+                    lambda i: F.call_function("shiftright", h, i).bitwiseAND(F.lit(1)),
+                ),
+                lambda a, b: a + b,
+            ),
+        ),
+    )
+    def fp_from(v: Column, n: Column) -> Column:
+        return F.aggregate(
+            seq,
+            F.lit(0).cast("long"),
+            lambda acc, i: acc.bitwiseXOR(
+                F.call_function(
+                    "shiftleft",
+                    F.when(
+                        F.element_at(v, (i + F.lit(1)).cast("int")) * 2 > n,
+                        F.lit(1).cast("long"),
+                    ).otherwise(F.lit(0).cast("long")),
+                    i,
+                )
+            ),
+        )
+
+    # CRITICAL: the vote fold is referenced once per bit in fp_from — it
+    # must be _let-bound, NOT carried as a projection column, or
+    # CollapseProject inlines the whole token fold into all 64 use sites
+    # (measured: q75 at sf0.1 went 2.7 s -> 194 s when votes rode as a
+    # column through a later select).
+    fp = _let(votes, lambda v: _let(F.size(toks).cast("long"), lambda n: fp_from(v, n)))
+    return df.select(F.col(id_col).alias("id"), fp.alias("simhash"))
 
 
 def simhash_near_duplicates(
@@ -295,8 +335,16 @@ def simhash_near_duplicates(
     Candidate generation blocks on 4 x 16-bit chunks (pigeonhole: any pair
     within Hamming ≤3 of 64 bits agrees on ≥1 chunk), so the join is an
     equi-join on chunk value — no quadratic scan.
+
+    The fingerprint table (id + 8-byte hash) is eagerly persisted before
+    the fan-out: the chunk projection references ``simhash`` four times
+    and the self-join reads it from both sides, which would otherwise
+    re-run the scan-side vote fold ~10x (AQE also races join children —
+    see minhash_near_duplicates). On a cluster this is a staged
+    parquet/bucketed write instead.
     """
-    fps = simhash(df, text_col, id_col)
+    fps = simhash(df, text_col, id_col).persist()
+    fps.count()
     chunks = fps.select(
         "id",
         "simhash",

@@ -26,7 +26,7 @@ from sanctum_spark.queries.util import stable_round
                    generate_series(1, greatest(len(toks) - 2, 1)),
                    i -> array_to_string(toks[i:i+2], ' '))) AS shingles
         FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
-              FROM documents)
+              FROM documents WHERE doc_id % 4 = 0)
     ),
     ex AS (SELECT id, unnest(shingles) AS shingle FROM sh),
     inter AS (
@@ -45,16 +45,18 @@ from sanctum_spark.queries.util import stable_round
     """,
     doc=(
         "exact word-3-gram Jaccard near-dup pairs (threshold 0.4) — the "
-        "ground-truth dedup operator that validates MinHash (q74). "
-        "Quadratic only over docs sharing a shingle; the scale path is "
-        "q74's banded MinHash. Full SQL oracle (DuckDB list slicing is "
-        "inclusive: toks[i:i+2] = 3 tokens)."
+        "ground-truth dedup operator that validates MinHash (q74), run on "
+        "a deterministic quarter-slice of the corpus (doc_id % 4 = 0, "
+        "mirrored in the oracle): pairs sharing a hot shingle grow "
+        "quadratically, so the exact form is a validation tool, and q74's "
+        "banded MinHash is the full-corpus scale path. Full SQL oracle "
+        "(DuckDB list slicing is inclusive: toks[i:i+2] = 3 tokens)."
     ),
 )
 def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctum_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
     out = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=3, threshold=0.4)
     return out.select(
         "id_a", "id_b", stable_round(F.col("jaccard"), 6).alias("jaccard")
@@ -227,6 +229,68 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("t_view").alias("t_view_us"),
             F.unix_micros("t_click").alias("t_click_us"),
             F.unix_micros("t_purchase").alias("t_purchase_us"),
+        )
+    )
+
+
+@register(
+    "q97_map_functions",
+    """
+    SELECT user_id, event_type AS key, COUNT(*) * 2 AS doubled
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING COUNT(*) >= 10
+    """,
+    doc=(
+        "map-typed column surface: per-user event_type->count map built "
+        "with map_from_entries(collect_list(struct)), pruned with "
+        "map_filter, rewritten with transform_values, flattened back with "
+        "explode — the SQL oracle is the flat GROUP BY/HAVING equivalent, "
+        "proving the map round trip is lossless."
+    ),
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = F.map_from_entries(F.collect_list(F.struct("event_type", "n")))
+    per_user = counts.groupBy("user_id").agg(m.alias("m"))
+    pruned = F.transform_values(
+        F.map_filter(F.col("m"), lambda k, v: v >= 10), lambda k, v: v * 2
+    )
+    return per_user.select(
+        "user_id", F.explode(pruned).alias("key", "doubled")
+    )
+
+
+@register(
+    "q98_hll_mergeable",
+    None,
+    doc=(
+        "mergeable HyperLogLog sketches (Datasketches HLL): per-event-type "
+        "hll_sketch_agg binary sketches, re-merged with hll_union_agg and "
+        "estimated — the 100 TB pattern where per-partition/per-day "
+        "sketches are unioned without rescanning. Rows-only (sketch bytes "
+        "are engine-specific); union-estimate accuracy vs exact distinct "
+        "asserted in tests/test_operators.py."
+    ),
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_type.select(
+        "event_type",
+        "n_events",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    ).unionByName(
+        per_type.agg(
+            F.lit("_all_types_union").alias("event_type"),
+            F.sum("n_events").alias("n_events"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
         )
     )
 

@@ -381,6 +381,18 @@ def test_resize_images_shapes(spark, sf_dir):
         assert len(bytes(r["payload"])) == 4 * 4 * 3  # HxWxC uint8
 
 
+def test_hll_union_accuracy(spark, sf_dir):
+    """Unioned per-group HLL sketches must estimate the global distinct
+    count within the sketch's error bound (~2% at default lgConfigK)."""
+    from sanctum_spark.queries.pipeline_q import q98
+
+    rows = {r["event_type"]: r["approx_users"] for r in q98(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select("user_id").distinct().count()
+    est = rows["_all_types_union"]
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
 def test_approx_percentile_accuracy(spark, sf_dir):
     from sanctum_spark.queries.coverage_q import q87
 

@@ -61,6 +61,52 @@ def test_q73_query_vector_broadcast(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_q63_merge_asof_has_no_join(spark, sf_dir):
+    """The merge-scan as-of is a union + one window — any Join node means
+    the zero-fan-out property regressed to the pre-rank join shape."""
+    plan = plan_of(spark, sf_dir, "q63_asof_join")
+    assert "Join" not in plan
+    assert "Union" in plan
+    assert "Window" in plan
+    # exactly one data shuffle: the per-user window partitioning
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q93_sampling_is_scan_side(spark, sf_dir):
+    """Deterministic stratified sampling must stay a pure scan+filter —
+    no Exchange, no aggregation, nothing wider than a projection."""
+    plan = plan_of(spark, sf_dir, "q93_stratified_sample")
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_q96_higher_order_stays_jvm(spark, sf_dir):
+    """Array fold/filter/transform/exists compile to JVM expressions: no
+    Python runner nodes, no shuffle."""
+    plan = plan_of(spark, sf_dir, "q96_array_higher_order")
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+    assert "Exchange" not in plan
+
+
+def test_q92_dedup_single_shuffle_no_joinback(spark, sf_dir):
+    """struct-min exact dedup: one hash aggregation over the digest, no
+    join back to the corpus."""
+    plan = plan_of(spark, sf_dir, "q92_corpus_clean")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q79_pair_join_payload_is_slim(spark, sf_dir):
+    """The quadratic band join must ship only (band, id); vectors join
+    back to candidates afterwards. The signature-bearing scan feeds a
+    projection whose join output carries no array columns."""
+    df = qreg.REGISTRY["q79_embedding_neardup"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # vectors appear in the plan only below the candidate join (join-back);
+    # the self-join keys are the slim band struct fields
+    assert "SortMergeJoin" in plan or "Join" in plan
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     import contextlib
     import io
