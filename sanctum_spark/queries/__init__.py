@@ -53,6 +53,7 @@ def load_all_modules() -> None:
         relational2,
         relational3,
         relational4,
+        relational5,
         events_q,
         llm_q,
         spells_q,
