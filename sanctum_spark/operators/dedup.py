@@ -234,16 +234,28 @@ def minhash_near_duplicates(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    hashed: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard over ALL pairs sharing ≥1 shingle (no LSH).
 
     Exact but quadratic in the worst case — the scale path is
     ``minhash_near_duplicates``; this is the ground-truth operator used to
     validate it (and fine for moderate corpora after an exact-dedup pass).
+
+    ``hashed=True`` joins on 64-bit xxhash64 shingle hashes instead of
+    shingle strings: the shuffle ships 8-byte longs instead of strings and
+    the equi-join compares longs — same pair set (hash collisions aside),
+    ~2× cheaper. Use it when the caller needs the PAIRS, not the shingles
+    themselves (e.g. dedup clustering).
     """
+    make = shingle_hashes if hashed else shingle_tokens
     sh = df.select(
-        F.col(id_col).alias("id"), shingle_tokens(text_col, shingle_k).alias("shingles")
+        F.col(id_col).alias("id"), make(text_col, shingle_k).alias("shingles")
     )
     exploded = sh.select("id", F.explode("shingles").alias("shingle"))
     a = exploded.alias("a")
@@ -380,3 +392,74 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a pair list: ``(id, component)`` where
+    ``component`` is the minimum node id reachable from ``id``.
+
+    The dedup-clustering step that follows pair generation (MinHash /
+    SimHash / exact Jaccard): near-dup PAIRS are not clusters — A~B and
+    B~C must collapse into one {A,B,C} group with a single keeper.
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes the min of its own label and its neighbors' labels; labels only
+    decrease, so SUM(label) is a strictly decreasing convergence metric
+    (one cheap aggregate per round, no expensive DataFrame diff). Rounds
+    needed = graph diameter; dedup clusters are near-cliques (diameter
+    ~1-3), so this converges in 2-4 rounds.
+
+    Scale design (100 TB): per round, one shuffle of (node, label) pairs
+    on the node key — the text never moves. ``localCheckpoint`` after
+    each round cuts the lineage so the plan stays O(1) deep instead of
+    growing per iteration (at cluster scale: checkpoint to a bucketed
+    table keyed on node so every round reuses the same partitioning).
+    For pathological diameters, swap in the large-star/small-star
+    alternation (Kiveris et al., "Connected Components in MapReduce"),
+    which converges in O(log n) rounds with the same per-round shape.
+    """
+    edges = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    # Materialize the symmetric edge list ONCE: every round joins against
+    # it, and without the checkpoint the (possibly expensive) upstream
+    # pair-generation lineage would re-execute per iteration.
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = new_labels.agg(F.sum("component")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels

@@ -331,3 +331,74 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.exists(vec, lambda x: F.abs(x) > 2.0).alias("has_outlier"),
     )
+
+
+@register(
+    "q99_dedup_clusters",
+    r"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 1)),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+              FROM documents)
+    ),
+    ex AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT id, len(shingles) AS n_sh FROM sh),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.4
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+    SELECT c.doc_id, c.cluster_id, s.cluster_size
+    FROM comp c
+    JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1) s
+      USING (cluster_id)
+    """,
+    doc=(
+        "dedup clustering: near-dup PAIRS (exact 3-gram Jaccard >= 0.4, "
+        "full-corpus edge set) collapsed into connected components "
+        "via iterative min-label propagation — A~B and B~C become one "
+        "{A,B,C} cluster keyed by its min doc_id, the step a curation "
+        "pipeline runs between pair generation and keeper selection. "
+        "Labels only decrease so SUM(label) is the convergence metric; "
+        "localCheckpoint per round keeps the plan O(1) deep. Oracle is a "
+        "DuckDB recursive CTE computing the same min-reachable-id fixpoint."
+    ),
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_k=3, threshold=0.4, hashed=True
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+        )
+    )

@@ -118,12 +118,11 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
-    w = Window.orderBy(F.col("revenue").desc(), "c_custkey")
-    return (
-        rev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .drop("rn")
-    )
+    # Global top-20 via orderBy+limit -> TakeOrderedAndProject (per-partition
+    # heaps merged at the driver), NOT a single-partition row_number window:
+    # at 100 TB the window form funnels every customer through one task.
+    # (revenue desc, c_custkey) is a total order, so the cutoff is stable.
+    return rev.orderBy(F.col("revenue").desc(), "c_custkey").limit(20)
 
 
 @register(

@@ -399,3 +399,40 @@ def test_approx_percentile_accuracy(spark, sf_dir):
     for r in q87(spark, sf_dir).collect():
         rel = abs(r["approx_median"] - r["exact_median"]) / abs(r["exact_median"])
         assert rel < 0.01, r
+
+
+def test_connected_components_transitive(spark):
+    # path A-B-C plus isolated pair D-E: transitivity must collapse the
+    # chain into one component labeled by its min id.
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    comp = {r["id"]: r["component"] for r in D.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain(spark):
+    # 0-1-2-...-9: diameter 9 forces multiple propagation rounds and
+    # exercises the convergence check (labels strictly decrease each round).
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["id_a", "id_b"]
+    )
+    comp = D.connected_components(edges).collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == 10
+
+
+def test_hashed_jaccard_pairs_match_string_pairs(spark, docs_with_planted):
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(
+            docs_with_planted, "text", "doc_id", threshold=0.4
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(
+            docs_with_planted, "text", "doc_id", threshold=0.4, hashed=True
+        ).collect()
+    }
+    assert got == want

@@ -39,8 +39,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # Usage: verify_local.py [sf_dir] [query ...]  — a first arg that is
+    # not a directory is treated as a query name, not an sf_dir.
+    argv = sys.argv[1:]
+    if argv and os.path.isdir(argv[0]):
+        sf_dir, only = argv[0], set(argv[1:])
+    else:
+        sf_dir, only = "/root/testdata/sf0.01", set(argv)
 
     # bare session: deliberately NOT sanctum_spark.session.get_spark
     spark = (
