@@ -57,7 +57,12 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctum_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
-    out = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=3, threshold=0.4)
+    # hashed=True: the join key is the xxhash64 of the shingle, not the
+    # string — jaccard is computed from set cardinalities, so the values
+    # are identical while the shuffle ships 8-byte longs (measured ~2x).
+    out = ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_k=3, threshold=0.4, hashed=True
+    )
     return out.select(
         "id_a", "id_b", stable_round(F.col("jaccard"), 6).alias("jaccard")
     )
@@ -401,4 +406,43 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("component").alias("cluster_id"),
             "cluster_size",
         )
+    )
+
+
+@register(
+    "q100_hypertable_rollup",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value) + 1e-9, 2) AS total_value,
+           ROUND(MIN(value) + 1e-9, 4) AS min_value,
+           ROUND(MAX(value) + 1e-9, 4) AS max_value,
+           ROUND(SUM(value) / COUNT(*) + 1e-9, 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "hypertable rollup: raw events -> HOURLY mergeable partials "
+        "(n/sum/min/max per hour+type) -> DAILY view by re-aggregating "
+        "the partials only — the continuous-aggregate pattern where "
+        "coarser grains never rescan raw data and avg is derived from "
+        "(sum, n), not averaged across buckets. The oracle aggregates "
+        "raw events directly, proving merge(partials) == direct(raw)."
+    ),
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.rollup import merge_rollup, partial_rollup, with_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = partial_rollup(ev, "ts", "hour", ["event_type"], "value")
+    daily = with_avg(merge_rollup(hourly, "day", ["event_type"]))
+    return daily.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        stable_round(F.col("sum_value"), 2).alias("total_value"),
+        stable_round(F.col("min_value"), 4).alias("min_value"),
+        stable_round(F.col("max_value"), 4).alias("max_value"),
+        "avg_value",
     )

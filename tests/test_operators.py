@@ -436,3 +436,28 @@ def test_hashed_jaccard_pairs_match_string_pairs(spark, docs_with_planted):
         ).collect()
     }
     assert got == want
+
+
+def test_rollup_merge_equals_direct(spark, sf_dir):
+    from sanctum_spark.operators import rollup as R
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = R.partial_rollup(ev, "ts", "hour", ["event_type"], "value")
+    merged = R.merge_rollup(hourly, "day", ["event_type"])
+    direct = R.partial_rollup(ev, "ts", "day", ["event_type"], "value")
+    m = {(r["bucket"], r["event_type"]): r for r in merged.collect()}
+    d = {(r["bucket"], r["event_type"]): r for r in direct.collect()}
+    assert set(m) == set(d)
+    for k in d:
+        assert m[k]["n"] == d[k]["n"]
+        assert abs(m[k]["sum_value"] - d[k]["sum_value"]) < 1e-6
+        assert m[k]["min_value"] == d[k]["min_value"]
+        assert m[k]["max_value"] == d[k]["max_value"]
+
+
+def test_rollup_rejects_unknown_grain(spark, sf_dir):
+    from sanctum_spark.operators import rollup as R
+
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError):
+        R.partial_rollup(ev, "ts", "fortnight", ["event_type"], "value")
