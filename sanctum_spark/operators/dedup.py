@@ -439,7 +439,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("component")).first()[0]
+    prev_sum = None  # first round always runs; saves one pre-loop job
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.src == labels.id)

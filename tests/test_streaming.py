@@ -296,3 +296,29 @@ def test_rate_source_event_stream(spark):
     for r in rows[:10]:
         assert r["event_type"] in {"click", "view", "purchase", "signup", "error"}
         assert r["ts_ns"] == int(r["ts"].timestamp() * 1_000_000) * 1000
+
+
+def test_streaming_rollup_partials_merge_to_batch(spark, sf_dir, staged):
+    """Lambda-architecture rollup: hour-grain mergeable partials computed
+    ON THE STREAM (complete mode), then merged to the day grain in batch —
+    must equal the daily rollup computed directly from the raw table.
+    Proves the partial-aggregate schema is stream/batch portable."""
+    from sanctum_spark.operators import rollup as R
+
+    stream = SRC.events_file_stream(spark, staged)
+    partials = R.partial_rollup(stream, "ts", "hour", ["event_type"], "value")
+    name = f"rollup_{uuid.uuid4().hex[:8]}"
+    _drain(partials, name, mode="complete")
+
+    daily_from_stream = R.merge_rollup(spark.table(name), "day", ["event_type"])
+    daily_direct = R.partial_rollup(
+        load_table(spark, sf_dir, "events"), "ts", "day", ["event_type"], "value"
+    )
+    got = {(r["bucket"], r["event_type"]): r for r in daily_from_stream.collect()}
+    want = {(r["bucket"], r["event_type"]): r for r in daily_direct.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["n"] == want[k]["n"]
+        assert abs(got[k]["sum_value"] - want[k]["sum_value"]) < 1e-6
+        assert got[k]["min_value"] == want[k]["min_value"]
+        assert got[k]["max_value"] == want[k]["max_value"]
