@@ -446,3 +446,59 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("max_value"), 4).alias("max_value"),
         "avg_value",
     )
+
+
+@register(
+    "q101_vocab_bigrams",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM toks
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bg
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 100
+    """,
+    doc=(
+        "vocabulary construction: top-100 word bigrams by corpus frequency "
+        "(count desc, bigram asc total order so the cutoff set is "
+        "engine-stable) — the count-table step of tokenizer/vocab training. "
+        "All-occurrence bigrams (not per-doc distinct), built JVM-side "
+        "with transform over a token index sequence; one shuffle carrying "
+        "(bigram, partial count), then TakeOrdered top-k."
+    ),
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+    def bigrams_of(t):
+        n = F.size(t)
+        # sequence(1, 0) would step BACKWARDS in Spark; guard short docs.
+        return F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    from sanctum_spark.operators.dedup import _let
+
+    bg = docs.select(F.explode(_let(toks, bigrams_of)).alias("bigram"))
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(100)
+    )
