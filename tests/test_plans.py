@@ -122,3 +122,28 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert "WholeStageCodegen subtrees" in out
     n = int(out.split("Found ")[1].split(" ")[0])
     assert n >= 2
+
+
+def test_q35_top20_is_take_ordered(spark, sf_dir):
+    """The returned-revenue top-20 must be TakeOrderedAndProject, not a
+    single-partition row_number window funnel over every customer."""
+    plan = plan_of(spark, sf_dir, "q35_returned_revenue")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_q100_rollup_is_two_level_partial_agg(spark, sf_dir):
+    """Both rollup levels must keep map-side partial aggregation, and the
+    raw events table must be scanned exactly once (coarser grains
+    re-aggregate partials, never raw rows)."""
+    plan = plan_of(spark, sf_dir, "q100_hypertable_rollup")
+    assert plan.count("HashAggregate") >= 4  # partial+final at both grains
+    assert plan.count("Scan parquet") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_q101_vocab_topk_is_take_ordered_jvm_only(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q101_vocab_bigrams")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
