@@ -502,3 +502,37 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(100)
     )
+
+
+@register(
+    "q102_salted_join_agg",
+    """
+    SELECT c.c_nationkey AS nationkey,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice) + 1e-9, 2) AS total_price
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+    doc=(
+        "skew-resistant salted equi-join proven equivalent to the plain "
+        "join: the left side scatters each (possibly hot) customer key "
+        "over 8 salts and the right side is exploded 8x, so one "
+        "pathological key spreads across 8 tasks instead of stalling a "
+        "stage — the explicit fallback when a single key exceeds what "
+        "AQE's skew split can rebalance. The oracle is the UNSALTED join, "
+        "proving salting changes the schedule, never the result."
+    ),
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.joins import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    joined = salted_join(orders, cust, on="o_custkey", n_salts=8)
+    return joined.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        stable_round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
