@@ -385,7 +385,10 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
         "via iterative min-label propagation — A~B and B~C become one "
         "{A,B,C} cluster keyed by its min doc_id, the step a curation "
         "pipeline runs between pair generation and keeper selection. "
-        "Labels only decrease so SUM(label) is the convergence metric; "
+        "At 100 TB the edge input is q74's banded MinHash pairs (the CC "
+        "operator is edge-source-agnostic; exact Jaccard is the "
+        "oracle-able validation source used here). Labels only decrease "
+        "so SUM(label) is the convergence metric; "
         "localCheckpoint per round keeps the plan O(1) deep. Oracle is a "
         "DuckDB recursive CTE computing the same min-reachable-id fixpoint."
     ),

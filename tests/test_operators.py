@@ -461,3 +461,15 @@ def test_rollup_rejects_unknown_grain(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     with pytest.raises(ValueError):
         R.partial_rollup(ev, "ts", "fortnight", ["event_type"], "value")
+
+
+def test_connected_components_composes_with_minhash(spark, docs_with_planted):
+    """The scale path: CC consumes banded MinHash pairs directly (the
+    exact-Jaccard edge source in q99 is the oracle-able validator)."""
+    pairs = D.minhash_near_duplicates(
+        docs_with_planted, "text", "doc_id", n_hashes=16, bands=4, threshold=0.5
+    )
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    by_id = {r["id"]: r["component"] for r in comp.collect()}
+    # the planted near-dup pair (0, 1_000_000) must share a component
+    assert by_id.get(1_000_000) == by_id.get(0) == 0
