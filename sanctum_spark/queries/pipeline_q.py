@@ -165,7 +165,11 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     corpus = emb.filter(F.col("vec_id") != 0)
-    centroids = ivf_train(corpus, k=8, n_iters=1)
+    # train the coarse quantizer on a deterministic quarter-slice — the
+    # documented 100 TB design (sampled training, full-corpus assignment);
+    # centroids stay deterministic (seeded by lowest ids of the slice).
+    train = corpus.filter(F.col("vec_id") % 4 == 0)
+    centroids = ivf_train(train, k=8, n_iters=1)
     assigned = ivf_assign(corpus, centroids)
     return ivf_topk(assigned, centroids, qvec, k=10, n_probes=3)
 
