@@ -102,6 +102,9 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        # queries that persist() intermediates (q74/q75/q88) would otherwise
+        # leak one cached copy per invocation into the shared session
+        spark.catalog.clearCache()
 
     # BASELINE.md comparability: the reference's headline number is spell
     # throughput (events/sec/core, README.md:61-62).  Ours = events

@@ -440,6 +440,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = None  # first round always runs; saves one pre-loop job
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.src == labels.id)
@@ -460,6 +461,15 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # Silent partial labels would mis-cluster; a diameter > max_iter
+        # graph needs the large-star/small-star variant, not more hope.
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint in {max_iter} "
+            "rounds (graph diameter exceeds max_iter); raise max_iter or "
+            "use a log-round algorithm for long-chain graphs"
+        )
     return labels

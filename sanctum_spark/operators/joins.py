@@ -114,6 +114,13 @@ def _asof_merge(
     right_time then the remaining right columns in order, so the max
     struct is the (right_time DESC, cols DESC) rank-1 row.
     """
+    reserved = {"_t", "_kind", "_rpay", "_last"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join(strategy='merge') reserves internal column names "
+            f"{sorted(reserved)}; rename input column(s) {sorted(clash)}"
+        )
     # rename right payload columns that clash with left column names
     renamed = right
     rtime = right_time

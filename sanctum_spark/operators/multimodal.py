@@ -176,6 +176,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         cid, csize = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + csize]
         if cid == b"fmt ":
+            if len(body) < 16:  # struct.error is NOT a ValueError
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -285,7 +287,9 @@ def extract_features(
                 payload = bytes(row["payload"]) if row["payload"] is not None else b""
                 try:
                     feat = one_feature(payload, row["modality"])
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, struct.error):
+                    # struct.error: malformed container bytes must degrade
+                    # to the zero-feature row, never kill the task
                     feat = np.zeros(3, dtype=np.float32)
                 out["media_id"].append(row["media_id"])
                 out["modality"].append(row["modality"])

@@ -7,7 +7,11 @@ partsupp / shipmode / commit dates; see TESTDATA.md).
 Determinism notes (cross-engine hash compare):
 - q29 ranks suppliers by MIN(l_extendedprice/l_quantity): each division
   is one IEEE-754 op and MIN never re-associates, so both engines hold
-  bit-identical doubles and the (cost, suppkey) rank is stable.
+  bit-identical doubles and the (cost, suppkey) rank is stable. The
+  FINAL display round still needs the stable_round nudge: a money
+  division can land exactly on a 4-dp half boundary, where Spark
+  (HALF_UP on the shortest decimal repr) and DuckDB (binary rounding)
+  disagree.
 - q38 compares SUM(l_quantity) against a fraction of the part total:
   quantities are integral doubles, so sums are exact and the single
   multiply 0.3*total is the same float on both engines.
@@ -21,7 +25,11 @@ from pyspark.sql import functions as F
 
 from sanctum_spark.io import load_table
 from sanctum_spark.queries import register
-from sanctum_spark.queries.util import money_round, sql_money_round
+from sanctum_spark.queries.util import (
+    money_round,
+    sql_money_round,
+    stable_round,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -43,7 +51,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         FROM cost
     )
     SELECT p.p_partkey, p.p_name, s.s_name AS best_supplier,
-           ROUND(r.unit_cost, 4) AS unit_cost
+           ROUND(r.unit_cost + 1e-9, 4) AS unit_cost
     FROM ranked r
     JOIN part p ON p.p_partkey = r.l_partkey
     JOIN supplier s ON s.s_suppkey = r.l_suppkey
@@ -72,7 +80,7 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             "p_name",
             F.col("s_name").alias("best_supplier"),
-            F.round("unit_cost", 4).alias("unit_cost"),
+            stable_round(F.col("unit_cost"), 4).alias("unit_cost"),
         )
     )
 

@@ -51,6 +51,23 @@ def main() -> None:
         fh.writelines(lines)
     print(f"QUERIES.md: {len(qreg.REGISTRY)} queries, {n_oracle} oracle-paired")
 
+    # keep README's hand-written inventory line from drifting
+    import re
+
+    readme = os.path.join(REPO, "README.md")
+    with open(readme) as fh:
+        text = fh.read()
+    text2 = re.sub(
+        r"\d+ registered queries \(\d+ DuckDB-oracle-paired\)",
+        f"{len(qreg.REGISTRY)} registered queries "
+        f"({n_oracle} DuckDB-oracle-paired)",
+        text,
+    )
+    if text2 != text:
+        with open(readme, "w") as fh:
+            fh.write(text2)
+        print("README.md: inventory line refreshed")
+
 
 if __name__ == "__main__":
     main()

@@ -99,6 +99,7 @@ def main() -> None:
         ok = rec["err"] is None and rec["rows_match"] and (
             rec["hash_match"] is not False) and (rec["schema_match"] is not False)
         results[name] = rec
+        spark.catalog.clearCache()  # drop per-query persist() leftovers
         print(f"{'PASS' if ok else 'FAIL'} {name} "
               f"rows={rec.get('spark_rows')}"
               + (f" err={rec['err'][:200]}" if rec["err"] else ""))
