@@ -399,6 +399,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    jump: bool = False,
 ) -> DataFrame:
     """Connected components over a pair list: ``(id, component)`` where
     ``component`` is the minimum node id reachable from ``id``.
@@ -419,9 +420,14 @@ def connected_components(
     each round cuts the lineage so the plan stays O(1) deep instead of
     growing per iteration (at cluster scale: checkpoint to a bucketed
     table keyed on node so every round reuses the same partitioning).
-    For pathological diameters, swap in the large-star/small-star
-    alternation (Kiveris et al., "Connected Components in MapReduce"),
-    which converges in O(log n) rounds with the same per-round shape.
+    For pathological diameters pass ``jump=True``: each round ALSO
+    replaces every label with its label's label (pointer jumping, the
+    path-halving move of the large-star/small-star family — Kiveris et
+    al., "Connected Components in MapReduce"), so the propagation
+    horizon doubles per round and convergence is O(log diameter) at the
+    cost of one extra (node, label) self-join per round. Near-clique
+    dedup graphs converge in 2-4 plain rounds, so jumping is off by
+    default.
     """
     edges = edges.select(
         F.col(src_col).cast("long").alias("src"),
@@ -447,16 +453,30 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
-            .select(
+        propagated = labels.join(
+            neighbor_min, labels.id == neighbor_min.dst, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+        )
+        if jump:
+            # pointer jumping: component[n] <- component[component[n]] —
+            # labels are node ids, so the parent lookup is a self-join
+            par = propagated.select(
+                F.col("id").alias("pid"), F.col("component").alias("pcomp")
+            )
+            propagated = propagated.join(
+                par, propagated.component == par.pid, "left"
+            ).select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    F.col("component"),
+                    F.coalesce(F.col("pcomp"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
-        )
+        new_labels = propagated.localCheckpoint(eager=True)
         new_sum = new_labels.agg(F.sum("component")).first()[0]
         labels.unpersist()
         labels = new_labels

@@ -473,3 +473,17 @@ def test_connected_components_composes_with_minhash(spark, docs_with_planted):
     by_id = {r["id"]: r["component"] for r in comp.collect()}
     # the planted near-dup pair (0, 1_000_000) must share a component
     assert by_id.get(1_000_000) == by_id.get(0) == 0
+
+
+def test_connected_components_jump_beats_diameter(spark):
+    # 60-node path: diameter 59 >> max_iter=10 — plain propagation must
+    # raise (no silent partial labels), pointer jumping must converge
+    # (horizon doubles per round: ceil(log2(59)) + confirm < 10).
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        D.connected_components(edges, max_iter=10)
+    comp = D.connected_components(edges, max_iter=10, jump=True).collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == 60
