@@ -1,0 +1,81 @@
+"""End-to-end LLM training-corpus curation pipeline.
+
+Run:  python examples/corpus_pipeline.py [sf_dir]
+
+Chains the engine's pipeline operators the way a 100 TB curation job
+would: exact dedup → near-dup pair generation (banded MinHash, the scale
+path) → dedup clustering (connected components) → keeper selection →
+quality gates → deterministic per-language stratified sampling → vocab
+count table. Every step is the same operator the oracle-checked queries
+use (q92/q74/q99/q93/q101), so this script is a composition demo, not a
+separate code path.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sanctum_spark.io import load_table  # noqa: E402
+from sanctum_spark.operators.dedup import (  # noqa: E402
+    connected_components,
+    drop_exact_duplicates,
+    minhash_near_duplicates,
+)
+from sanctum_spark.operators.text import token_count  # noqa: E402
+from sanctum_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("corpus_pipeline")
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. exact dedup: one digest shuffle, lowest doc_id kept
+    docs = drop_exact_duplicates(docs, "text", "doc_id")
+    n1 = docs.count()
+
+    # 2. near-dup pairs via banded MinHash (the 100 TB path), then
+    # 3. collapse pairs into clusters and keep each cluster's min doc_id
+    pairs = minhash_near_duplicates(
+        docs, "text", "doc_id", n_hashes=16, bands=4, threshold=0.5
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    docs = docs.join(losers, "doc_id", "left_anti")
+    n2 = docs.count()
+
+    # 4. quality gates (token/length bands)
+    docs = docs.withColumn("n_tokens", token_count(F.col("text"))).filter(
+        (F.col("n_tokens") >= 10)
+        & (F.length("text") >= 100)
+        & (F.length("text") <= 20000)
+    )
+    n3 = docs.count()
+
+    # 5. deterministic content-hash stratified sample (downweight 'en')
+    bucket = F.expr("instr('0123456789abcdef', substring(md5(text), 32, 1))")
+    docs = docs.withColumn("bucket", bucket).filter(
+        ((F.col("lang") == "en") & (F.col("bucket") <= 2))
+        | ((F.col("lang") != "en") & (F.col("bucket") <= 8))
+    )
+    n4 = docs.count()
+
+    print(
+        f"corpus: {n0} raw -> {n1} exact-deduped -> {n2} near-dedup-clustered "
+        f"-> {n3} quality-gated -> {n4} sampled"
+    )
+    docs.groupBy("lang").count().orderBy("lang").show()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
