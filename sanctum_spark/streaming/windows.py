@@ -77,3 +77,39 @@ def streaming_dedup(
     if watermark is not None:
         return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
+
+
+def streaming_partial_rollup(
+    events: DataFrame,
+    grain: str = "1 hour",
+    watermark: str = "1 hour",
+    keys: list[str] | None = None,
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Continuous hypertable maintenance: emit the same mergeable
+    (bucket, *keys, n, sum, min, max) partials as
+    ``operators.rollup.partial_rollup``, but from a stream with a
+    watermark, so append mode finalizes each bucket once the watermark
+    passes it (late data beyond the watermark is dropped, matching the
+    batch rollup's "late data rewrites the touched bucket" contract at
+    the ingest tier instead).
+
+    The appended partials land in the same schema the batch
+    ``merge_rollup`` consumes, so daily/monthly views keep re-aggregating
+    one combined partial table regardless of whether rows arrived via
+    stream or backfill — the lambda-architecture join point, tested in
+    tests/test_streaming.py.
+    """
+    keys = keys if keys is not None else ["event_type"]
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, grain).alias("win"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(F.col("win.start").alias("bucket"), *keys, "n", "sum_value", "min_value", "max_value")
+    )

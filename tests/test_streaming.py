@@ -322,3 +322,62 @@ def test_streaming_rollup_partials_merge_to_batch(spark, sf_dir, staged):
         assert abs(got[k]["sum_value"] - want[k]["sum_value"]) < 1e-6
         assert got[k]["min_value"] == want[k]["min_value"]
         assert got[k]["max_value"] == want[k]["max_value"]
+
+
+def test_streaming_partial_rollup_append_merges_to_batch(spark, sf_dir, staged):
+    """Watermarked append-mode partials: every FINALIZED bucket must equal
+    the batch partial exactly, and days whose hour-buckets all finalized
+    must merge to the batch daily rollup — the stream/backfill join point.
+    (availableNow carries a one-batch watermark lag, so the tail bucket
+    legitimately stays open; completeness is asserted up to that lag.)"""
+    from sanctum_spark.operators import rollup as R
+
+    stream = SRC.events_file_stream(spark, staged)
+    partials = WIN.streaming_partial_rollup(stream, "1 hour", "1 hour")
+    name = f"srollup_{uuid.uuid4().hex[:8]}"
+    _drain(partials, name, mode="append")
+
+    got_hourly = {
+        (r["bucket"], r["event_type"]): r for r in spark.table(name).collect()
+    }
+    assert got_hourly, "append mode emitted nothing"
+    want_hourly = {
+        (r["bucket"], r["event_type"]): r
+        for r in R.partial_rollup(
+            load_table(spark, sf_dir, "events"), "ts", "hour", ["event_type"], "value"
+        ).collect()
+    }
+    # (a) every emitted (finalized) bucket is exactly the batch partial
+    for k, g in got_hourly.items():
+        w = want_hourly[k]
+        assert g["n"] == w["n"] and g["min_value"] == w["min_value"]
+        assert abs(g["sum_value"] - w["sum_value"]) < 1e-6
+    # (b) only the watermark-lag tail may be missing
+    missing = set(want_hourly) - set(got_hourly)
+    newest_finalized = max(b for b, _ in got_hourly)
+    assert all(b > newest_finalized for b, _ in missing), (
+        "a bucket OLDER than a finalized one was never emitted"
+    )
+    # (c) fully-finalized days merge to the batch daily rollup
+    from collections import Counter
+
+    want_hours_per_day = Counter(b.date() for b, _ in want_hourly)
+    got_hours_per_day = Counter(b.date() for b, _ in got_hourly)
+    full_days = {d for d, c in want_hours_per_day.items() if got_hours_per_day[d] == c}
+    assert full_days, "no fully-finalized day to compare"
+    daily_stream = {
+        (r["bucket"], r["event_type"]): r
+        for r in R.merge_rollup(spark.table(name), "day", ["event_type"]).collect()
+        if r["bucket"].date() in full_days
+    }
+    daily_batch = {
+        (r["bucket"], r["event_type"]): r
+        for r in R.partial_rollup(
+            load_table(spark, sf_dir, "events"), "ts", "day", ["event_type"], "value"
+        ).collect()
+        if r["bucket"].date() in full_days
+    }
+    assert set(daily_stream) == set(daily_batch)
+    for k in daily_batch:
+        assert daily_stream[k]["n"] == daily_batch[k]["n"]
+        assert abs(daily_stream[k]["sum_value"] - daily_batch[k]["sum_value"]) < 1e-6
