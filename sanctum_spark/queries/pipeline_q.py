@@ -543,3 +543,49 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         stable_round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "q103_map_zip_with",
+    """
+    SELECT user_id,
+           'n_' || event_type AS key,
+           COUNT(*) AS n,
+           ROUND(SUM(value) / COUNT(*) + 1e-9, 4) AS avg_value
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING COUNT(*) >= 12
+    """,
+    doc=(
+        "map combination surface: two per-user maps (event_type->count, "
+        "event_type->value sum) built independently, aligned key-by-key "
+        "with map_zip_with into (count, avg) structs, keys rewritten with "
+        "transform_keys, flattened back — completes the map HOF family "
+        "over q97 (map_filter/transform_values). Oracle is the flat "
+        "GROUP BY equivalent, proving the zip loses no keys."
+    ),
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    )
+    counts = F.map_from_entries(F.collect_list(F.struct("event_type", "n")))
+    sums = F.map_from_entries(F.collect_list(F.struct("event_type", "s")))
+    per_user = per.groupBy("user_id").agg(counts.alias("mc"), sums.alias("ms"))
+    zipped = F.map_zip_with(
+        F.col("mc"),
+        F.col("ms"),
+        lambda k, n, s: F.struct(n.alias("n"), (s / n).alias("avg")),
+    )
+    keyed = F.transform_keys(
+        F.map_filter(zipped, lambda k, v: v["n"] >= 12),
+        lambda k, v: F.concat(F.lit("n_"), k),
+    )
+    flat = per_user.select("user_id", F.explode(keyed).alias("key", "v"))
+    return flat.select(
+        "user_id",
+        "key",
+        F.col("v.n").alias("n"),
+        stable_round(F.col("v.avg"), 4).alias("avg_value"),
+    )
