@@ -48,3 +48,35 @@ def stream_stream_interval_join(
         & (F.col(right_time + rs) <= F.col(left_time + ls) + F.expr(f"INTERVAL {within}"))
     )
     return lw.join(rw, cond, "inner")
+
+
+def stream_stream_interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """Left-outer variant of the interval join: a left event that finds no
+    right match is EMITTED WITH NULLS once the watermark passes the end of
+    its match window (the state store can then prove no match can arrive).
+
+    This is the funnel-with-dropouts shape (q95's batch semantics on a
+    stream): matched conversions flow immediately; non-converting events
+    surface as (left, null) exactly one watermark later — bounded state,
+    no "did they ever convert?" rescan.
+    """
+    ls, rs = suffixes
+    lcols = [F.col(c).alias(c + ls) for c in left.columns]
+    rcols = [F.col(c).alias(c + rs) for c in right.columns]
+    lw = left.select(lcols).withWatermark(left_time + ls, watermark)
+    rw = right.select(rcols).withWatermark(right_time + rs, watermark)
+    cond = (
+        (F.col(key + ls) == F.col(key + rs))
+        & (F.col(right_time + rs) > F.col(left_time + ls))
+        & (F.col(right_time + rs) <= F.col(left_time + ls) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "leftOuter")
