@@ -25,7 +25,9 @@ inventory fills.
 
 FOOTER = """
 Streaming operators (watermarked tumbling/sliding/session windows,
-streaming dedup, stream-static and stream-stream interval joins,
+streaming dedup, stream-static and stream-stream interval joins —
+inner AND left-outer with watermark-expiry null emission, streaming
+hypertable partial rollups (append-mode continuous aggregates),
 stateful spells, state range queries, topic demux, durable-log
 append) return streaming DataFrames and are therefore verified in
 `tests/test_streaming*.py` / `tests/test_sinks.py` against batch
