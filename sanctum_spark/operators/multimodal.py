@@ -4,13 +4,13 @@ Images / audio / video ride as opaque ``binary`` payload columns with a
 typed metadata struct.  The Spark-side plumbing — schemas, Arrow-batched
 mapInPandas pipelines, partitioning by media size — is real and tested.
 
-Decoding: uncompressed formats are decoded for REAL in pure Python —
-BMP (24-bit uncompressed), PPM (P6 binary / P3 ascii) and WAV (PCM
-8/16-bit) need only ``struct``/numpy.  Compressed formats (PNG/JPEG/MP3…)
-would need external libraries not present in this container, so those
-payloads raise ``NotImplementedError`` unless the deterministic fake
-decoder is allowed (content-hash-seeded tensor), which keeps the
-pipeline-shape tests runnable on arbitrary bytes.
+Decoding: real pure-Python decoders — BMP (24-bit uncompressed), PPM
+(P6 binary / P3 ascii), WAV (PCM 8/16-bit) via ``struct``/numpy, and PNG
+(8-bit gray/RGB/RGBA, all five scanline filters) via stdlib ``zlib``.
+Formats needing external codecs (JPEG/MP3/H.264…) raise
+``NotImplementedError`` unless the deterministic fake decoder is allowed
+(content-hash-seeded tensor), which keeps the pipeline-shape tests
+runnable on arbitrary bytes.
 """
 
 from __future__ import annotations
@@ -214,6 +214,107 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     )
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-Python PNG decode (stdlib zlib) -> HxWx3 uint8.
+
+    Supports the mainstream subset: 8-bit depth, color types 0 (gray),
+    2 (RGB), 6 (RGBA, alpha dropped), non-interlaced, all five scanline
+    filters (None/Sub/Up/Average/Paeth). Anything else raises
+    NotImplementedError; malformed bytes raise ValueError.
+    """
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError(f"PNG depth={depth} compression={comp}")
+    if interlace != 0:
+        raise NotImplementedError("interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color} not supported")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if f == 0:
+            pass
+        elif f == 2:  # Up
+            line += prev
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            cur = line.astype(np.int32)
+            pr = prev.astype(np.int32)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = pr[x]
+                if f == 1:
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = pr[x - channels] if x >= channels else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    cur[x] = (cur[x] + pred) & 0xFF
+            line = cur.astype(np.uint8)
+        else:
+            raise ValueError(f"PNG filter {f} invalid")
+        out[y] = line
+        prev = out[y]
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3].copy()
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> minimal PNG (8-bit RGB, filter 0, one IDAT)."""
+    import zlib
+
+    h, w, _ = pixels.shape
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
@@ -224,8 +325,10 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     still run on arbitrary bytes.
     """
     payload = payload or b""
-    if payload[:2] in (b"BM", b"P6", b"P3"):
+    if payload[:8] == PNG_SIG or payload[:2] in (b"BM", b"P6", b"P3"):
         try:
+            if payload[:8] == PNG_SIG:
+                return decode_png(payload)
             return (
                 decode_bmp(payload) if payload[:2] == b"BM" else decode_ppm(payload)
             )
@@ -237,8 +340,8 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
                 raise
     if not fake:
         raise NotImplementedError(
-            "payload is not BMP/PPM; compressed formats require an imaging "
-            "library not available here (use fake=True for the "
+            "payload is not PNG/BMP/PPM; other compressed formats require "
+            "an imaging library not available here (use fake=True for the "
             "deterministic test decoder)"
         )
     digest = hashlib.sha256(payload).digest()
