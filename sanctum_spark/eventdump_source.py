@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -156,3 +157,77 @@ class EventDumpDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> EventDumpWriter:
         return EventDumpWriter(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> "EventDumpStreamReader":
+        return EventDumpStreamReader(self.options)
+
+
+class EventDumpStreamReader(SimpleDataSourceStreamReader):
+    """Streaming reads of a dump directory: each micro-batch picks up the
+    files that appeared since the last committed offset.
+
+    Offset = the lexicographically largest filename consumed so far, so
+    the producer contract is log-roll naming (monotonically increasing
+    filenames, e.g. zero-padded sequence numbers or timestamp prefixes —
+    the layout every log-rolling writer already produces). Files sorting
+    at or below the offset are never re-read; replay between offsets is
+    exact (readBetweenOffsets), which is what gives the source
+    exactly-once semantics under checkpoint recovery.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sanctum_eventdump requires a path")
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def _files_after(self, last: str, upto: str | None = None) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        names = sorted(
+            f for f in os.listdir(self.path) if not f.startswith((".", "_"))
+        )
+        return [
+            os.path.join(self.path, f)
+            for f in names
+            if f > last and (upto is None or f <= upto)
+        ]
+
+    def _read_files(self, files: list[str]):
+        from sanctum_spark.codec.msgpack_codec import unpack
+
+        for path in files:
+            with open(path) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    payload = _decode_line(line)
+                    ev = unpack(payload)
+                    yield (
+                        int(ev["event_id"]) if "event_id" in ev else None,
+                        int(ev["user_id"]) if "user_id" in ev else None,
+                        ev.get("event_type"),
+                        float(ev["value"]) if "value" in ev else None,
+                        payload,
+                    )
+
+    def read(self, start: dict):
+        files = self._files_after(start.get("last", ""))
+        if not files:
+            return iter([]), start
+        end = {"last": os.path.basename(files[-1])}
+        # a list ITERATOR, not a generator: the harness both pickles the
+        # prefetched batch (generators can't pickle) and calls next() on
+        # it (bare lists fail); iter(list) satisfies both
+        return iter(list(self._read_files(files))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            list(
+                self._read_files(
+                    self._files_after(start.get("last", ""), end.get("last", ""))
+                )
+            )
+        )

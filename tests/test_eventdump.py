@@ -57,3 +57,52 @@ def test_eventdump_source_roundtrip_parallel(spark, sf_dir, tmp_path):
     assert sorted(bytes(r["payload"]) for r in again.collect()) == sorted(
         bytes(r["payload"]) for r in back.collect()
     )
+
+
+def test_eventdump_streaming_source_picks_up_new_files(spark, tmp_path):
+    import time
+    import uuid as _uuid
+
+    from sanctum_spark.codec.msgpack_codec import pack
+
+    d = str(tmp_path / "stream_dumps")
+    os.makedirs(d)
+
+    def write_file(seq: int, ids: range) -> None:
+        # log-roll naming: zero-padded sequence = lexicographically increasing
+        with open(os.path.join(d, f"dump-{seq:06d}.log"), "w") as fh:
+            from sanctum_spark.eventdump_source import _encode_line
+
+            for i in ids:
+                fh.write(
+                    _encode_line(
+                        pack({"event_id": i, "user_id": i % 5, "value": float(i)})
+                    )
+                    + "\n"
+                )
+
+    write_file(1, range(0, 50))
+    spark.dataSource.register(EventDumpDataSource)
+    name = f"evstream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("sanctum_eventdump")
+        .load(d)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while spark.table(name).count() < 50 and time.time() < deadline:
+            time.sleep(0.5)
+        assert spark.table(name).count() == 50
+        # a file appearing AFTER the stream started must be picked up
+        write_file(2, range(50, 80))
+        while spark.table(name).count() < 80 and time.time() < deadline:
+            time.sleep(0.5)
+        assert spark.table(name).count() == 80
+        got = {r["event_id"] for r in spark.table(name).collect()}
+        assert got == set(range(80))
+    finally:
+        q.stop()
