@@ -27,6 +27,7 @@ from __future__ import annotations
 import base64
 import os
 import uuid
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -76,6 +77,46 @@ def _encode_line(payload: bytes) -> str:
     return URL_PREFIX + b64
 
 
+def _list_dump_files(path: str, last: str = "", upto: str | None = None) -> list[str]:
+    """Sorted REGULAR files in a dump dir (dot/underscore-prefixed names are
+    hidden — that is what makes staged writer tmp files invisible), filtered
+    to the (last, upto] filename window."""
+    if not os.path.isdir(path):
+        # single-file path: still honor the offset window, else a stream
+        # pointed at one file would re-read it every micro-batch
+        name = os.path.basename(path)
+        if os.path.isfile(path) and name > last and (upto is None or name <= upto):
+            return [path]
+        return []
+    names = sorted(f for f in os.listdir(path) if not f.startswith((".", "_")))
+    return [
+        p
+        for f in names
+        if f > last and (upto is None or f <= upto)
+        if os.path.isfile(p := os.path.join(path, f))
+    ]
+
+
+def _iter_events(path: str):
+    """Decode one dump file — the single shared decode loop for the batch
+    reader and the streaming reader, so their row shapes cannot diverge."""
+    from sanctum_spark.codec.msgpack_codec import unpack
+
+    with open(path) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            payload = _decode_line(line)
+            ev = unpack(payload)
+            yield (
+                int(ev["event_id"]) if "event_id" in ev else None,
+                int(ev["user_id"]) if "user_id" in ev else None,
+                ev.get("event_type"),
+                float(ev["value"]) if "value" in ev else None,
+                payload,
+            )
+
+
 class _FilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -88,48 +129,39 @@ class EventDumpReader(DataSourceReader):
             raise ValueError("sanctum_eventdump requires a path")
 
     def partitions(self):
-        if os.path.isdir(self.path):
-            files = sorted(
-                os.path.join(self.path, f)
-                for f in os.listdir(self.path)
-                if not f.startswith((".", "_"))
-            )
-        else:
-            files = [self.path]
-        return [_FilePartition(p) for p in files]
+        return [_FilePartition(p) for p in _list_dump_files(self.path)]
 
     def read(self, partition: _FilePartition):
-        # imported on the executor, not pickled from the driver
-        from sanctum_spark.codec.msgpack_codec import unpack
+        yield from _iter_events(partition.path)
 
-        with open(partition.path) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                payload = _decode_line(line)
-                ev = unpack(payload)
-                yield (
-                    int(ev["event_id"]) if "event_id" in ev else None,
-                    int(ev["user_id"]) if "user_id" in ev else None,
-                    ev.get("event_type"),
-                    float(ev["value"]) if "value" in ev else None,
-                    payload,
-                )
+
+@dataclass
+class _DumpCommit(WriterCommitMessage):
+    tmp: str
+    final: str
 
 
 class EventDumpWriter(DataSourceWriter):
-    def __init__(self, options: dict):
+    """Staged two-phase writer: tasks write to hidden ``.‹name›.tmp`` files
+    (invisible to readers), commit() atomically renames the committed set
+    into place, abort() deletes the staging files — so failed or
+    speculative task attempts can never leave partial/duplicate part files
+    visible. With ``overwrite`` the previously-visible files are removed
+    at commit time, after every new file staged successfully."""
+
+    def __init__(self, options: dict, overwrite: bool):
         self.path = options.get("path")
+        self.overwrite = overwrite
         if not self.path:
             raise ValueError("sanctum_eventdump requires a path")
 
-    def write(self, rows) -> WriterCommitMessage:
+    def write(self, rows) -> _DumpCommit:
         from sanctum_spark.codec.msgpack_codec import pack
 
         os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.dump")
-        n = 0
-        with open(out, "w") as fh:
+        final = os.path.join(self.path, f"part-{uuid.uuid4().hex}.dump")
+        tmp = os.path.join(self.path, "." + os.path.basename(final) + ".tmp")
+        with open(tmp, "w") as fh:
             for row in rows:
                 payload = row["payload"]
                 if payload is None:
@@ -140,8 +172,19 @@ class EventDumpWriter(DataSourceWriter):
                     }
                     payload = pack(ev)
                 fh.write(_encode_line(bytes(payload)) + "\n")
-                n += 1
-        return WriterCommitMessage()
+        return _DumpCommit(tmp=tmp, final=final)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for p in _list_dump_files(self.path):
+                os.remove(p)
+        for m in messages:
+            os.replace(m.tmp, m.final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp):
+                os.remove(m.tmp)
 
 
 class EventDumpDataSource(DataSource):
@@ -156,7 +199,7 @@ class EventDumpDataSource(DataSource):
         return EventDumpReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> EventDumpWriter:
-        return EventDumpWriter(self.options)
+        return EventDumpWriter(self.options, overwrite)
 
     def simpleStreamReader(self, schema: StructType) -> "EventDumpStreamReader":
         return EventDumpStreamReader(self.options)
@@ -166,68 +209,46 @@ class EventDumpStreamReader(SimpleDataSourceStreamReader):
     """Streaming reads of a dump directory: each micro-batch picks up the
     files that appeared since the last committed offset.
 
-    Offset = the lexicographically largest filename consumed so far, so
-    the producer contract is log-roll naming (monotonically increasing
-    filenames, e.g. zero-padded sequence numbers or timestamp prefixes —
-    the layout every log-rolling writer already produces). Files sorting
-    at or below the offset are never re-read; replay between offsets is
-    exact (readBetweenOffsets), which is what gives the source
-    exactly-once semantics under checkpoint recovery.
+    Offset = the lexicographically largest filename consumed so far.
+    Producer contract (both parts enforced by EventDumpWriter itself):
+    log-roll naming (monotonically increasing filenames) AND atomic
+    appearance (stage to a hidden tmp name, rename into place) — a file
+    must be complete when it first becomes visible, because its lines are
+    consumed exactly once. ``maxFilesPerTrigger`` (default 64) bounds how
+    many files one micro-batch materializes driver-side, so starting a
+    stream against a large existing backlog drains it in bounded steps
+    instead of buffering the whole directory in one batch.
+    Replay between committed offsets is exact (readBetweenOffsets), which
+    is what gives checkpoint recovery exactly-once semantics.
     """
 
     def __init__(self, options: dict):
         self.path = options.get("path")
+        self.max_files = int(options.get("maxFilesPerTrigger", "64"))
         if not self.path:
             raise ValueError("sanctum_eventdump requires a path")
 
     def initialOffset(self) -> dict:
         return {"last": ""}
 
-    def _files_after(self, last: str, upto: str | None = None) -> list[str]:
-        if not os.path.isdir(self.path):
-            return []
-        names = sorted(
-            f for f in os.listdir(self.path) if not f.startswith((".", "_"))
-        )
-        return [
-            os.path.join(self.path, f)
-            for f in names
-            if f > last and (upto is None or f <= upto)
-        ]
-
-    def _read_files(self, files: list[str]):
-        from sanctum_spark.codec.msgpack_codec import unpack
-
-        for path in files:
-            with open(path) as fh:
-                for line in fh:
-                    if not line.strip():
-                        continue
-                    payload = _decode_line(line)
-                    ev = unpack(payload)
-                    yield (
-                        int(ev["event_id"]) if "event_id" in ev else None,
-                        int(ev["user_id"]) if "user_id" in ev else None,
-                        ev.get("event_type"),
-                        float(ev["value"]) if "value" in ev else None,
-                        payload,
-                    )
+    def _read_window(self, last: str, upto: str | None = None) -> list:
+        rows = []
+        for path in _list_dump_files(self.path, last, upto):
+            rows.extend(_iter_events(path))
+        return rows
 
     def read(self, start: dict):
-        files = self._files_after(start.get("last", ""))
+        files = _list_dump_files(self.path, start.get("last", ""))[: self.max_files]
         if not files:
             return iter([]), start
         end = {"last": os.path.basename(files[-1])}
         # a list ITERATOR, not a generator: the harness both pickles the
         # prefetched batch (generators can't pickle) and calls next() on
         # it (bare lists fail); iter(list) satisfies both
-        return iter(list(self._read_files(files))), end
+        rows = []
+        for path in files:
+            rows.extend(_iter_events(path))
+        return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(
-            list(
-                self._read_files(
-                    self._files_after(start.get("last", ""), end.get("last", ""))
-                )
-            )
-        )
+        return iter(self._read_window(start.get("last", ""), end.get("last", "")))

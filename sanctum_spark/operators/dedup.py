@@ -463,7 +463,10 @@ def connected_components(
         )
         if jump:
             # pointer jumping: component[n] <- component[component[n]] —
-            # labels are node ids, so the parent lookup is a self-join
+            # labels are node ids, so the parent lookup is a self-join.
+            # Checkpoint first: both join inputs are the same lazy plan,
+            # which would otherwise evaluate the propagation twice.
+            propagated = propagated.localCheckpoint(eager=True)
             par = propagated.select(
                 F.col("id").alias("pid"), F.col("component").alias("pcomp")
             )

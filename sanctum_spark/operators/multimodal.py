@@ -235,7 +235,9 @@ def decode_png(payload: bytes) -> np.ndarray:
         ctype = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + clen]
         if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
+            if len(body) < 13:  # struct.error is NOT a ValueError
+                raise ValueError("truncated PNG IHDR chunk")
+            ihdr = struct.unpack(">IIBBBBB", body[:13])
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
@@ -426,7 +428,14 @@ def resize_images(
         for pdf in batches:
             out = {"media_id": [], "payload": [], "width": [], "height": []}
             for _, row in pdf.iterrows():
-                pixels = decode_image(bytes(row["payload"] or b""), fake=fake_decode)
+                try:
+                    pixels = decode_image(
+                        bytes(row["payload"] or b""), fake=fake_decode
+                    )
+                except (NotImplementedError, ValueError, struct.error):
+                    # per-item isolation: a malformed payload degrades to a
+                    # 1x1 black tile, never kills the task
+                    pixels = np.zeros((1, 1, 3), dtype=np.uint8)
                 h0, w0, c = pixels.shape
                 bh, bw = max(1, h0 // height), max(1, w0 // width)
                 resized = (

@@ -20,6 +20,37 @@ def enrich_with_dimension(
     return events.join(F.broadcast(dim), on, how)
 
 
+def _interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    within: str,
+    watermark: str,
+    suffixes: tuple[str, str],
+    how: str,
+) -> DataFrame:
+    """Shared builder for the stream-stream interval joins: suffixed
+    columns, per-side watermarks, and the strictly-after/within-band
+    condition live in ONE place so inner and outer semantics cannot
+    diverge."""
+    ls, rs = suffixes
+    lcols = [F.col(c).alias(c + ls) for c in left.columns]
+    rcols = [F.col(c).alias(c + rs) for c in right.columns]
+    lw = left.select(lcols).withWatermark(left_time + ls, watermark)
+    rw = right.select(rcols).withWatermark(right_time + rs, watermark)
+    cond = (
+        (F.col(key + ls) == F.col(key + rs))
+        & (F.col(right_time + rs) > F.col(left_time + ls))
+        & (
+            F.col(right_time + rs)
+            <= F.col(left_time + ls) + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return lw.join(rw, cond, how)
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -37,17 +68,9 @@ def stream_stream_interval_join(
     once they can no longer match — state is bounded by
     (watermark + within) x arrival rate, independent of stream length.
     """
-    ls, rs = suffixes
-    lcols = [F.col(c).alias(c + ls) for c in left.columns]
-    rcols = [F.col(c).alias(c + rs) for c in right.columns]
-    lw = left.select(lcols).withWatermark(left_time + ls, watermark)
-    rw = right.select(rcols).withWatermark(right_time + rs, watermark)
-    cond = (
-        (F.col(key + ls) == F.col(key + rs))
-        & (F.col(right_time + rs) > F.col(left_time + ls))
-        & (F.col(right_time + rs) <= F.col(left_time + ls) + F.expr(f"INTERVAL {within}"))
+    return _interval_join(
+        left, right, key, left_time, right_time, within, watermark, suffixes, "inner"
     )
-    return lw.join(rw, cond, "inner")
 
 
 def stream_stream_interval_join_outer(
@@ -69,14 +92,14 @@ def stream_stream_interval_join_outer(
     surface as (left, null) exactly one watermark later — bounded state,
     no "did they ever convert?" rescan.
     """
-    ls, rs = suffixes
-    lcols = [F.col(c).alias(c + ls) for c in left.columns]
-    rcols = [F.col(c).alias(c + rs) for c in right.columns]
-    lw = left.select(lcols).withWatermark(left_time + ls, watermark)
-    rw = right.select(rcols).withWatermark(right_time + rs, watermark)
-    cond = (
-        (F.col(key + ls) == F.col(key + rs))
-        & (F.col(right_time + rs) > F.col(left_time + ls))
-        & (F.col(right_time + rs) <= F.col(left_time + ls) + F.expr(f"INTERVAL {within}"))
+    return _interval_join(
+        left,
+        right,
+        key,
+        left_time,
+        right_time,
+        within,
+        watermark,
+        suffixes,
+        "leftOuter",
     )
-    return lw.join(rw, cond, "leftOuter")

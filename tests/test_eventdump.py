@@ -106,3 +106,20 @@ def test_eventdump_streaming_source_picks_up_new_files(spark, tmp_path):
         assert got == set(range(80))
     finally:
         q.stop()
+
+
+def test_eventdump_overwrite_replaces_not_appends(spark, tmp_path):
+    spark.dataSource.register(EventDumpDataSource)
+    out = str(tmp_path / "ow")
+    ev = (
+        load_table(spark, os.environ.get("SANCTUM_TEST_SF_DIR", "/root/testdata/sf0.001"), "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .limit(50)
+        .withColumn("payload", F.lit(None).cast("binary"))
+    )
+    ev.write.format("sanctum_eventdump").mode("append").save(out)
+    ev.write.format("sanctum_eventdump").mode("overwrite").save(out)
+    back = spark.read.format("sanctum_eventdump").load(out)
+    assert back.count() == 50  # not 100: overwrite replaced the old files
+    # no staging leftovers are visible or present
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]

@@ -98,3 +98,20 @@ def test_png_grayscale_and_rgba_and_errors():
         decode_png(b"nope")
     with _pytest.raises(ValueError):
         decode_png(PNG_SIG + b"\x00" * 20)  # no IHDR/IDAT chunks
+
+
+def test_truncated_ihdr_degrades_not_crashes():
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sanctum_spark.operators.multimodal import PNG_SIG, decode_image, decode_png
+
+    # IHDR declares 13 bytes but the payload is truncated mid-chunk
+    bad = PNG_SIG + _struct.pack(">I", 13) + b"IHDR" + b"\x00\x00"
+    with _pytest.raises(ValueError):  # not struct.error
+        decode_png(bad)
+    fake = decode_image(bad, fake=True)  # falls through to the fake decoder
+    assert fake.shape == (8, 8, 3)
