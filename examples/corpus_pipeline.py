@@ -5,10 +5,10 @@ Run:  python examples/corpus_pipeline.py [sf_dir]
 Chains the engine's pipeline operators the way a 100 TB curation job
 would: exact dedup → near-dup pair generation (banded MinHash, the scale
 path) → dedup clustering (connected components) → keeper selection →
-quality gates → deterministic per-language stratified sampling → vocab
-count table. Every step is the same operator the oracle-checked queries
-use (q92/q74/q99/q93/q101), so this script is a composition demo, not a
-separate code path.
+benchmark decontamination → quality + repetition gates → deterministic
+per-language stratified sampling. Every step is the same operator the
+oracle-checked queries use (q92/q74/q99/q104/q105/q93), so this script
+is a composition demo, not a separate code path.
 """
 
 from __future__ import annotations
@@ -27,7 +27,11 @@ from sanctum_spark.operators.dedup import (  # noqa: E402
     drop_exact_duplicates,
     minhash_near_duplicates,
 )
-from sanctum_spark.operators.text import token_count  # noqa: E402
+from sanctum_spark.operators.text import (  # noqa: E402
+    decontaminate,
+    repetition_profile,
+    token_count,
+)
 from sanctum_spark.session import get_spark  # noqa: E402
 
 
@@ -53,25 +57,41 @@ def main() -> None:
     docs = docs.join(losers, "doc_id", "left_anti")
     n2 = docs.count()
 
-    # 4. quality gates (token/length bands)
-    docs = docs.withColumn("n_tokens", token_count(F.col("text"))).filter(
-        (F.col("n_tokens") >= 10)
-        & (F.length("text") >= 100)
-        & (F.length("text") <= 20000)
-    )
+    # 4. benchmark decontamination: drop docs carrying eval-set n-grams
+    # (here the held-out slice doc_id % 97 = 0 stands in for the suite)
+    bench = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 97 == 0)
+    contaminated = decontaminate(
+        docs, bench, "text", "doc_id", k=3, threshold=0.5
+    ).select("doc_id")
+    docs = docs.join(contaminated, "doc_id", "left_anti")
     n3 = docs.count()
 
-    # 5. deterministic content-hash stratified sample (downweight 'en')
+    # 5. quality + repetition gates (token/length bands, Gopher dup-frac)
+    rep = repetition_profile(docs, "text", "doc_id").filter(
+        F.col("dup_bigram_frac") > 0.6
+    ).select("doc_id")
+    docs = (
+        docs.join(rep, "doc_id", "left_anti")
+        .withColumn("n_tokens", token_count(F.col("text")))
+        .filter(
+            (F.col("n_tokens") >= 10)
+            & (F.length("text") >= 100)
+            & (F.length("text") <= 20000)
+        )
+    )
+    n4 = docs.count()
+
+    # 6. deterministic content-hash stratified sample (downweight 'en')
     bucket = F.expr("instr('0123456789abcdef', substring(md5(text), 32, 1))")
     docs = docs.withColumn("bucket", bucket).filter(
         ((F.col("lang") == "en") & (F.col("bucket") <= 2))
         | ((F.col("lang") != "en") & (F.col("bucket") <= 8))
     )
-    n4 = docs.count()
+    n5 = docs.count()
 
     print(
         f"corpus: {n0} raw -> {n1} exact-deduped -> {n2} near-dedup-clustered "
-        f"-> {n3} quality-gated -> {n4} sampled"
+        f"-> {n3} decontaminated -> {n4} quality-gated -> {n5} sampled"
     )
     docs.groupBy("lang").count().orderBy("lang").show()
     spark.stop()

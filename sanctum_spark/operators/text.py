@@ -92,6 +92,123 @@ def doc_fingerprint(col: str | Column) -> Column:
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word-k-gram
+    containment against a benchmark suite reaches ``threshold``.
+
+    Returns (id, n_overlap, containment) where containment = |doc shingles
+    ∩ benchmark shingles| / |doc shingles|.  The standard pre-training
+    hygiene step: any doc carrying a meaningful fraction of an eval set's
+    n-grams is dropped before training.
+
+    Scale shape: benchmark suites are tiny relative to a 100 TB corpus, so
+    the distinct benchmark-shingle set is collected ONCE and broadcast —
+    the corpus side is a scan + broadcast-hash semi-join (no corpus
+    shuffle); the only shuffle is the groupBy(id) over MATCHED shingle
+    rows, bounded by actual overlap, not corpus size.
+    """
+    from sanctum_spark.operators.dedup import shingle_tokens
+
+    doc_sh = docs.select(
+        F.col(id_col),
+        shingle_tokens(text_col, k).alias("shingles"),
+    ).select(
+        id_col,
+        F.size("shingles").cast("long").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    bench_sh = benchmark.select(
+        F.explode(shingle_tokens(text_col, k)).alias("shingle")
+    ).distinct()
+    containment = F.col("n_overlap") / F.col("n_sh").cast("double")
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.max("n_sh").alias("n_sh"), F.count(F.lit(1)).alias("n_overlap"))
+        .filter(containment >= threshold)
+        .select(id_col, "n_overlap", containment.alias("containment"))
+    )
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style intra-document repetition metrics, zero-shuffle.
+
+    Per doc: token count, duplicate-token fraction, top-token (mode)
+    frequency fraction, and duplicate-bigram fraction — the signals the
+    Gopher/C4 quality rules threshold on.  Everything is a per-row JVM
+    expression (split / array_distinct / sort + run-length fold / bigram
+    transform): embarrassingly parallel, no shuffle, composes with the
+    scan at codegen speed — the explode+groupBy alternative would shuffle
+    every token of the corpus.
+
+    The token array is _let-bound (see dedup._let) so Catalyst evaluates
+    the split once per referenced metric instead of once per element;
+    the 4 struct-field references re-evaluate the O(tokens) metric
+    expression 4x, which is accepted (cheap) in exchange for staying
+    entirely shuffle-free.
+    """
+    from sanctum_spark.operators.dedup import _let
+
+    c = F.col(text_col)
+
+    def metrics(toks: Column) -> Column:
+        n = F.size(toks)
+        nd = F.greatest(n, F.lit(1)).cast("double")
+        nb = F.greatest(n - 1, F.lit(1))
+        bigrams = F.transform(
+            F.sequence(F.lit(1), nb),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+        # mode frequency: run-length fold over the sorted array — no
+        # explode, no shuffle; `run` is referenced twice (O(2n), not O(n²))
+        acc0 = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        )
+
+        def step(acc: Column, t: Column) -> Column:
+            run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            )
+            return F.struct(
+                t.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        top = F.aggregate(F.array_sort(toks), acc0, step, lambda a: a["best"])
+        return F.struct(
+            n.cast("long").alias("n_tokens"),
+            (F.lit(1.0) - F.size(F.array_distinct(toks)) / nd).alias(
+                "dup_token_frac"
+            ),
+            (top / nd).alias("top_token_frac"),
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct(bigrams)) / nb.cast("double")
+            ).alias("dup_bigram_frac"),
+        )
+
+    m = _let(F.split(F.lower(F.trim(c)), r"\s+"), metrics)
+    return df.select(
+        F.col(id_col),
+        m["n_tokens"].alias("n_tokens"),
+        m["dup_token_frac"].alias("dup_token_frac"),
+        m["top_token_frac"].alias("top_token_frac"),
+        m["dup_bigram_frac"].alias("dup_bigram_frac"),
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass per-document profile used by corpus-curation pipelines."""
     c = F.col(text_col)

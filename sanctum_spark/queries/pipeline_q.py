@@ -589,3 +589,109 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.n").alias("n"),
         stable_round(F.col("v.avg"), 4).alias("avg_value"),
     )
+
+
+@register(
+    "q104_decontamination",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+        FROM tok
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0
+    ),
+    ex AS (
+        SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh
+        FROM sh WHERE doc_id % 97 <> 0
+    ),
+    ov AS (
+        SELECT doc_id, MAX(n_sh) AS n_sh, COUNT(*) AS n_overlap
+        FROM ex WHERE shingle IN (SELECT shingle FROM bench)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_overlap,
+           ROUND(n_overlap / CAST(n_sh AS DOUBLE) + 1e-9, 6) AS containment
+    FROM ov
+    WHERE n_overlap / CAST(n_sh AS DOUBLE) >= 0.05
+    """,
+    doc=(
+        "benchmark decontamination: training docs whose word-3-gram "
+        "containment vs the benchmark slice (doc_id % 97 = 0, mirrored in "
+        "the oracle) reaches 0.05. The benchmark shingle set is distinct'd "
+        "and BROADCAST (eval suites are tiny vs a 100 TB corpus), so the "
+        "corpus side is scan + broadcast semi-join — no corpus shuffle; "
+        "only matched rows reach the groupBy."
+    ),
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.text import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    out = decontaminate(train, bench, "text", "doc_id", k=3, threshold=0.05)
+    return out.select(
+        "doc_id",
+        "n_overlap",
+        stable_round(F.col("containment"), 6).alias("containment"),
+    )
+
+
+@register(
+    "q105_repetition_filter",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS w FROM tok)
+        GROUP BY doc_id, w
+    ),
+    top AS (SELECT doc_id, MAX(c) AS top_c FROM cnt GROUP BY doc_id),
+    m AS (
+        SELECT t.doc_id,
+               len(toks) AS n_tokens,
+               greatest(len(toks), 1) AS nd,
+               greatest(len(toks) - 1, 1) AS nb,
+               len(list_distinct(toks)) AS n_uniq,
+               len(list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 1)),
+                   i -> array_to_string(toks[i:i+1], ' ')))) AS n_uniq_bg,
+               top.top_c
+        FROM tok t JOIN top ON t.doc_id = top.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(1.0 - n_uniq / CAST(nd AS DOUBLE) + 1e-9, 6) AS dup_token_frac,
+           ROUND(top_c / CAST(nd AS DOUBLE) + 1e-9, 6) AS top_token_frac,
+           ROUND(1.0 - n_uniq_bg / CAST(nb AS DOUBLE) + 1e-9, 6) AS dup_bigram_frac
+    FROM m
+    """,
+    doc=(
+        "Gopher-style repetition metrics per document: duplicate-token, "
+        "mode-token and duplicate-bigram fractions — computed shuffle-FREE "
+        "as per-row JVM expressions (mode via run-length fold over the "
+        "sorted token array, bigrams via transform), where the oracle's "
+        "unnest+GROUP BY shape would shuffle every token of the corpus."
+    ),
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.text import repetition_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = repetition_profile(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        stable_round(F.col("dup_token_frac"), 6).alias("dup_token_frac"),
+        stable_round(F.col("top_token_frac"), 6).alias("top_token_frac"),
+        stable_round(F.col("dup_bigram_frac"), 6).alias("dup_bigram_frac"),
+    )

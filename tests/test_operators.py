@@ -487,3 +487,53 @@ def test_connected_components_jump_beats_diameter(spark):
     comp = D.connected_components(edges, max_iter=10, jump=True).collect()
     assert {r["component"] for r in comp} == {0}
     assert len(comp) == 60
+
+
+def test_decontaminate_flags_planted_copy(spark):
+    from sanctum_spark.operators.text import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # verbatim copy of the benchmark doc -> containment 1.0
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            # disjoint vocabulary -> no overlap, never flagged
+            (2, "one two three four five six seven eight nine"),
+            # half-contaminated: leading 4 benchmark tokens
+            (3, "alpha beta gamma delta red blue green yellow"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(docs, bench, "text", "doc_id", k=3, threshold=0.05)
+        .collect()
+    }
+    assert out[1]["containment"] == 1.0 and out[1]["n_overlap"] == 6
+    assert 2 not in out
+    # doc 3: 6 shingles, 2 of them ("alpha beta gamma", "beta gamma delta")
+    # are benchmark shingles
+    assert out[3]["n_overlap"] == 2
+    assert abs(out[3]["containment"] - 2 / 6) < 1e-9
+
+
+def test_repetition_profile_hand_computed(spark):
+    from sanctum_spark.operators.text import repetition_profile
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "w x y z")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in repetition_profile(docs).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 4
+    assert abs(r1["dup_token_frac"] - 0.5) < 1e-9  # 2 uniques of 4
+    assert abs(r1["top_token_frac"] - 0.75) < 1e-9  # mode 'a' x3
+    # bigrams: "a a","a a","a b" -> 2 distinct of 3
+    assert abs(r1["dup_bigram_frac"] - 1 / 3) < 1e-9
+    r2 = out[2]
+    assert r2["dup_token_frac"] == 0.0
+    assert abs(r2["top_token_frac"] - 0.25) < 1e-9
+    assert r2["dup_bigram_frac"] == 0.0

@@ -147,3 +147,16 @@ def test_q101_vocab_topk_is_take_ordered_jvm_only(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q101_vocab_bigrams")
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q104_broadcasts_benchmark_no_corpus_shuffle_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q104_decontamination")
+    # benchmark shingle set must reach the corpus as a broadcast, never a
+    # SortMergeJoin (which would shuffle every corpus shingle)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q105_repetition_is_shuffle_free(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q105_repetition_filter")
+    assert "Exchange" not in plan  # per-row metrics: scan+project only
