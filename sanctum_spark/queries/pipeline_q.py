@@ -695,3 +695,73 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("top_token_frac"), 6).alias("top_token_frac"),
         stable_round(F.col("dup_bigram_frac"), 6).alias("dup_bigram_frac"),
     )
+
+
+@register(
+    "q106_tfidf_terms",
+    r"""
+    WITH tf AS (
+        SELECT doc_id, w AS term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+              FROM documents)
+        GROUP BY doc_id, w
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * ln(n.n_docs / CAST(df.df AS DOUBLE)) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+               ) AS rk
+        FROM scored
+    )
+    SELECT doc_id, term, ROUND(tfidf + 1e-9, 6) AS tfidf, rk
+    FROM ranked WHERE rk <= 3
+    """,
+    doc=(
+        "TF-IDF top-3 terms per document: term counts (map-side combined "
+        "explode), doc frequency re-aggregated from the tf rows (they ARE "
+        "the distinct (doc,term) pairs — no second corpus scan), corpus "
+        "size joined in as a BROADCAST single-row aggregate (stays in the "
+        "plan, no driver collect), deterministic (tfidf DESC, term ASC) "
+        "tie-break. The token explode shuffle is inherent to any global "
+        "statistic; everything after it is term- or doc-grain. The df "
+        "broadcast assumes a bounded vocabulary (true after BPE-ish "
+        "tokenization); for an unbounded raw-string vocab drop the hint "
+        "and let AQE choose the term-key shuffle join."
+    ),
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", stable_round(F.col("tfidf"), 6).alias("tfidf"), "rk")
+    )

@@ -160,3 +160,13 @@ def test_q104_broadcasts_benchmark_no_corpus_shuffle_join(spark, sf_dir):
 def test_q105_repetition_is_shuffle_free(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q105_repetition_filter")
     assert "Exchange" not in plan  # per-row metrics: scan+project only
+
+
+def test_q106_tfidf_broadcasts_stats_no_driver_collect(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q106_tfidf_terms")
+    # df table and the single-row corpus count both reach the tf rows as
+    # broadcasts; the only SortMergeJoin-free plan shuffles are the tf
+    # aggregate and the per-doc ranking window
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
