@@ -765,3 +765,248 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", stable_round(F.col("tfidf"), 6).alias("tfidf"), "rk")
     )
+
+
+@register(
+    "q107_regression_aggs",
+    r"""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity) + 1e-9, 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 6)
+               AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity) + 1e-9, 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(regr_avgx(l_extendedprice, l_quantity) + 1e-9, 6) AS avg_qty,
+           ROUND(regr_avgy(l_extendedprice, l_quantity) + 1e-9, 6) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "linear-regression aggregate family (regr_slope/intercept/r2/"
+        "count/avgx/avgy) per return flag — the trend-fit surface OLAP "
+        "engines expose for drift dashboards. Single hash aggregate with "
+        "map-side partials (the regr_* family reduces to the same "
+        "(n, sum_x, sum_y, sxx, sxy, syy) moment sketch Spark combines "
+        "per-partition), so the plan is exactly q01's shape: one shuffle "
+        "of 6 moments per group."
+    ),
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        stable_round(F.regr_slope(y, x), 6).alias("slope"),
+        stable_round(F.regr_intercept(y, x), 6).alias("intercept"),
+        stable_round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+        stable_round(F.regr_avgx(y, x), 6).alias("avg_qty"),
+        stable_round(F.regr_avgy(y, x), 6).alias("avg_price"),
+    )
+
+
+# q108: concat-and-chunk sequence packing. PACK_BUDGET tokens per pack;
+# PACK_BLOCK doc_ids per prefix-sum block (the distributed-cumsum grain).
+PACK_BUDGET = 512
+PACK_BLOCK = 64
+
+
+@register(
+    "q108_sequence_packing",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tok,
+               COALESCE(SUM(n_tok) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_start
+        FROM t
+    )
+    SELECT CAST(floor(cum_start / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c
+    GROUP BY 1
+    """,
+    doc=(
+        "GPT-style sequence packing: docs concatenated in doc_id order and "
+        "cut into fixed token-budget packs (pack = floor(prefix_sum / "
+        "budget)), the step that turns a cleaned corpus into fixed-length "
+        "training rows. The prefix sum is DISTRIBUTED: per-block cumsum "
+        "windows run in parallel (block = doc_id div 64), then a tiny "
+        "block-totals table (n/64 rows) gets the only ordered global scan "
+        "and joins back as a BROADCAST — no single-partition pass over the "
+        "corpus, the classic two-phase parallel prefix sum. The oracle is "
+        "the naive global window, proving block cumsum + block offset == "
+        "global cumsum. At 100 TB: raise the block grain (or add a third "
+        "level) so the offsets table stays a broadcast."
+    ),
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from sanctum_spark.operators.text import token_count
+
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_tok"),
+            (F.col("doc_id") - F.col("doc_id") % PACK_BLOCK).alias("blk"),
+        )
+    )
+    # Phase 1: within-block running start (parallel across blocks).
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn("in_start", F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)))
+    # Phase 2: block offsets — n/PACK_BLOCK rows, the only globally-ordered
+    # scan, then broadcast back to the full table.
+    blk_tot = t.groupBy("blk").agg(F.sum("n_tok").alias("blk_tok"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    blk_off = blk_tot.select(
+        "blk", F.coalesce(F.sum("blk_tok").over(w_blk), F.lit(0)).alias("blk_off")
+    )
+    packed = t.join(F.broadcast(blk_off), "blk").select(
+        "doc_id",
+        "n_tok",
+        F.floor((F.col("blk_off") + F.col("in_start")) / PACK_BUDGET).alias(
+            "pack_id"
+        ),
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "q109_cooccurrence",
+    r"""
+    WITH t AS (
+        SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    p AS (
+        SELECT unnest(list_concat(
+            list_transform(generate_series(1, len(toks) - 1),
+                           i -> struct_pack(w1 := toks[i], w2 := toks[i+1])),
+            list_transform(generate_series(1, len(toks) - 2),
+                           i -> struct_pack(w1 := toks[i], w2 := toks[i+2]))
+        )) AS pr FROM t
+    )
+    SELECT pr.w1 AS w1, pr.w2 AS w2, COUNT(*) AS cnt
+    FROM p
+    GROUP BY 1, 2
+    ORDER BY cnt DESC, w1 ASC, w2 ASC
+    LIMIT 50
+    """,
+    doc=(
+        "skip-gram co-occurrence counts (forward window <= 2): the count "
+        "table word2vec/GloVe-style embedding training consumes. Ordered "
+        "pairs built JVM-side by zip_with over two array slices (no index "
+        "arithmetic, no OOB risk under ANSI mode), exploded, one "
+        "map-side-combined shuffle of (w1, w2, partial count), TakeOrdered "
+        "top-50 with a (cnt desc, w1, w2) total order so the cutoff set is "
+        "engine-stable. Pair vocabulary is bounded by vocab^2 regardless "
+        "of corpus size — the aggregate, not the explode, is the only "
+        "exchange."
+    ),
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.text import tokens
+
+    toks = F.transform(tokens(F.col("text")), lambda w: F.lower(w))
+    n = F.size(toks)
+
+    def pairs_at(off: int):
+        ln = F.greatest(n - off, F.lit(0))
+        return F.zip_with(
+            F.slice(toks, 1, ln),
+            F.slice(toks, 1 + off, ln),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.concat(pairs_at(1), pairs_at(2))).alias("pr")
+        )
+        .select("pr.w1", "pr.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(50)
+    )
+
+
+# q110: sliding-window context chunking. CHUNK_LEN tokens per training
+# sample, CHUNK_STRIDE tokens between window starts (overlap keeps context
+# across cuts).
+CHUNK_LEN = 32
+CHUNK_STRIDE = 24
+
+
+@register(
+    "q110_context_chunks",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks), {CHUNK_STRIDE})) AS start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(toks[start:start+{CHUNK_LEN - 1}]) AS BIGINT)
+               AS n_chunk_tokens,
+           md5(array_to_string(toks[start:start+{CHUNK_LEN - 1}], ' '))
+               AS chunk_digest
+    FROM s
+    """,
+    doc=(
+        "sliding-window context chunking (len 32, stride 24): each doc's "
+        "token stream cut into overlapping fixed-size training windows — "
+        "the doc -> training-sample step that precedes packing (q108 "
+        "combines short rows; this splits long ones). Entirely per-row "
+        "JVM work: posexplode over a stride sequence + slice + md5, ZERO "
+        "exchanges in the plan (asserted in test_plans), so at 100 TB it "
+        "is a pure map over the scan and writes sharded output with no "
+        "shuffle at all."
+    ),
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.transform(tokens(F.col("text")), lambda w: F.lower(w))
+    starts = F.sequence(F.lit(1), F.size(F.col("toks")), F.lit(CHUNK_STRIDE))
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    starts, lambda s: F.slice(F.col("toks"), s, CHUNK_LEN)
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("chunk").cast("long").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", "chunk")).alias("chunk_digest"),
+        )
+    )

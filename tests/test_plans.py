@@ -170,3 +170,28 @@ def test_q106_tfidf_broadcasts_stats_no_driver_collect(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q107_regr_single_aggregate_exchange(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q107_regression_aggs")
+    # regr_* family reduces to moment partials: one shuffle, map-side agg
+    assert plan.count("Exchange") == 1
+    assert "HashAggregate" in plan
+
+
+def test_q108_packing_block_offsets_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q108_sequence_packing")
+    # the tiny block-offset table joins back as a broadcast; the corpus
+    # never reaches a single-partition global window
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q109_cooccurrence_topk_no_full_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q109_cooccurrence")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q110_chunking_is_shuffle_free(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q110_context_chunks")
+    assert "Exchange" not in plan  # pure map over the scan
