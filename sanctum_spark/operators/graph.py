@@ -1,0 +1,103 @@
+"""Iterative graph operators over edge-list DataFrames.
+
+Complements ``operators.dedup.connected_components`` (min-label
+propagation) with rank-style iteration: PageRank / TextRank power
+iteration expressed as per-round DataFrame joins.
+
+Scale design (100 TB): every round is ONE shuffle of (node, rank)
+pairs keyed on the node id — edges and strengths are materialized once
+(``localCheckpoint``) and reused; the document/term payload never moves.
+On a cluster, checkpoint edges to a bucketed table keyed on ``src`` so
+every round's join reuses the same partitioning with no re-shuffle of
+the edge side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    symmetric: bool = True,
+) -> DataFrame:
+    """Fixed-iteration (weighted) PageRank over an edge list ->
+    ``(node, rank)``.
+
+    A FIXED iteration count (not a convergence epsilon) keeps the result
+    deterministic and cross-engine comparable: the same power-iteration
+    steps produce the same ranks regardless of summation order (float
+    noise stays ~1e-16 relative, absorbed by output rounding).
+
+    With ``weight_col`` this is TextRank's formulation (Mihalcea &
+    Tarau 2004): a node distributes its rank to neighbors proportionally
+    to edge weight / its total outgoing strength. Without it, weights
+    are 1 and strength degenerates to out-degree (classic PageRank).
+
+    ``symmetric=True`` mirrors each edge (undirected graphs — TextRank's
+    co-occurrence graph); after mirroring every node has strength > 0,
+    so there is no dangling-mass term to redistribute.
+
+    Per round: contributions = ranks joined to the (edge, strength)
+    table on the source key, one groupBy(dst) sum — a single
+    (node, rank)-sized shuffle; then the damped update left-joined onto
+    the node set (nodes with no in-neighbors keep the teleport term).
+    ``localCheckpoint`` per round cuts lineage so the plan stays O(1)
+    deep across iterations.
+    """
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    )
+    if symmetric:
+        e = e.unionByName(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+    # Merge parallel edges once so contributions are never double-counted.
+    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    strength = e.groupBy("src").agg(F.sum("w").alias("strength"))
+    # Edges pre-joined to their source strength: the per-round join then
+    # touches only this one materialized table.
+    e = (
+        e.join(strength, "src")
+        .select("src", "dst", (F.col("w") / F.col("strength")).alias("share"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    # Node count stays in the plan as a broadcast single-row aggregate —
+    # no driver-side collect of data-dependent values.
+    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+
+    ranks = nodes.join(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .join(F.broadcast(n))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -60,6 +60,7 @@ def load_all_modules() -> None:
         ops_q,
         coverage_q,
         pipeline_q,
+        pipeline2_q,
     )
 
 

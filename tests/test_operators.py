@@ -537,3 +537,43 @@ def test_repetition_profile_hand_computed(spark):
     assert r2["dup_token_frac"] == 0.0
     assert abs(r2["top_token_frac"] - 0.25) < 1e-9
     assert r2["dup_bigram_frac"] == 0.0
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    # Weighted 4-node graph with a clear hub; compare 10 fixed rounds
+    # against a dense numpy power iteration of the same update rule.
+    import numpy as np
+
+    from sanctum_spark.operators.graph import pagerank
+
+    edges = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 1.0), (2, 3, 2.0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, weight_col="w", n_iter=10).collect()
+    }
+
+    n = 4
+    W = np.zeros((n, n))
+    for s, d, w in edges:
+        W[s, d] += w
+        W[d, s] += w
+    share = W / W.sum(axis=1, keepdims=True)  # row: src -> dst share
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        r = 0.15 / n + 0.85 * (share.T @ r)
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    # hub (node 2) outranks the leaf it feeds
+    assert got[2] > got[0]
+
+
+def test_pagerank_unweighted_uniform_on_cycle(spark):
+    # symmetric cycle: perfect symmetry must give exactly uniform ranks
+    from sanctum_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], ["src", "dst"]
+    )
+    ranks = [r["rank"] for r in pagerank(df, n_iter=5).collect()]
+    assert all(abs(v - 0.2) < 1e-12 for v in ranks)

@@ -195,3 +195,18 @@ def test_q109_cooccurrence_topk_no_full_sort(spark, sf_dir):
 def test_q110_chunking_is_shuffle_free(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q110_context_chunks")
     assert "Exchange" not in plan  # pure map over the scan
+
+
+def test_q111_upsert_latest_is_aggregate_not_window(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q111_cdc_upsert")
+    # latest-per-key via struct-max: combinable aggregate, no window sort
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_q113_lateral_decorrelates_to_group_limit(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q113_lateral_topk")
+    # Catalyst turns the correlated LATERAL LIMIT into partial+final
+    # WindowGroupLimit — bounded shuffle, no per-customer execution
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
