@@ -274,3 +274,180 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), F.col("node").asc())
         .limit(20)
     )
+
+
+@register(
+    "q115_fuzzy_vocab",
+    r"""
+    WITH v AS (SELECT DISTINCT unnest(
+                   string_split_regex(lower(trim(text)), '\s+')) AS w
+               FROM documents)
+    SELECT a.w AS w1, b.w AS w2, levenshtein(a.w, b.w) AS dist
+    FROM v a JOIN v b
+      ON abs(length(a.w) - length(b.w)) <= 2
+     AND a.w < b.w
+    WHERE levenshtein(a.w, b.w) <= 2
+    """,
+    doc=(
+        "fuzzy vocabulary matching: token pairs within Levenshtein "
+        "distance 2 — the typo/variant clustering step of vocab "
+        "normalization. Candidates are length-band blocked (edit distance "
+        ">= length difference, so |len diff| <= 2 is exact, not a "
+        "heuristic) over the DISTINCT'd vocabulary, which is bounded by "
+        "corpus vocabulary, not corpus size; the distance UDF-free "
+        "levenshtein runs only on survivors. At a 10^6-word real vocab "
+        "the pair space needs q-gram prefix filtering (EDJoin/PassJoin) "
+        "before the verify — same candidates-then-verify shape as the "
+        "MinHash family."
+    ),
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = (
+        docs.select(
+            F.explode(F.transform(tokens(F.col("text")), lambda w: F.lower(w))).alias("w")
+        )
+        .distinct()
+    )
+    a = v.select(F.col("w").alias("w1"))
+    b = v.select(F.col("w").alias("w2"))
+    cand = a.join(
+        b,
+        (F.abs(F.length("w1") - F.length("w2")) <= 2) & (F.col("w1") < F.col("w2")),
+    )
+    return cand.select(
+        "w1", "w2", F.levenshtein("w1", "w2").cast("long").alias("dist")
+    ).filter(F.col("dist") <= 2)
+
+
+@register(
+    "q116_winsorize",
+    r"""
+    WITH p AS (SELECT l_returnflag,
+                      quantile_cont(l_extendedprice, 0.05) AS lo,
+                      quantile_cont(l_extendedprice, 0.95) AS hi
+               FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           ROUND(AVG(l_extendedprice) + 1e-9, 4) AS avg_raw,
+           ROUND(AVG(LEAST(GREATEST(l_extendedprice, lo), hi)) + 1e-9, 4)
+               AS avg_wins,
+           CAST(SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM lineitem l JOIN p USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+    doc=(
+        "percentile winsorization (outlier clipping): per-group exact "
+        "P05/P95 computed once (group-grain, tiny), BROADCAST back onto "
+        "the fact, values clamped JVM-side — the two-pass clip every "
+        "quality pipeline runs before averaging noisy metrics. The "
+        "percentile table is group-count-sized at any data volume, so "
+        "the second pass is scan + broadcast join + agg; n_clipped "
+        "is deterministic because no data point can lie strictly "
+        "between the two adjacent order stats an interpolated quantile "
+        "falls between."
+    ),
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    x = F.col("l_extendedprice")
+    clipped = F.least(F.greatest(x, F.col("lo")), F.col("hi"))
+    return (
+        li.join(F.broadcast(p), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            stable_round(F.avg(x), 4).alias("avg_raw"),
+            stable_round(F.avg(clipped), 4).alias("avg_wins"),
+            F.sum(
+                F.when((x < F.col("lo")) | (x > F.col("hi")), 1).otherwise(0)
+            ).alias("n_clipped"),
+        )
+    )
+
+
+@register(
+    "q117_group_sample",
+    r"""
+    WITH r AS (SELECT user_id, event_id, value,
+                      ROW_NUMBER() OVER (
+                          PARTITION BY user_id
+                          ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+                          AS rn
+               FROM events)
+    SELECT user_id, event_id, ROUND(value + 1e-9, 2) AS val
+    FROM r WHERE rn <= 5
+    """,
+    doc=(
+        "deterministic per-group k-sample: exactly 5 events per user, "
+        "chosen by md5-hash order — reproducible across engines, runs "
+        "and cluster layouts (no RNG state, unlike rand()-based "
+        "sampling), uniform-ish because the hash decorrelates from "
+        "insertion order. The ranking window becomes partial+final "
+        "WindowGroupLimit, so each task forwards at most k rows per "
+        "group to the shuffle — per-group reservoir sampling at scale "
+        "without a stateful pass."
+    ),
+)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("user_id", "event_id", stable_round(F.col("value"), 2).alias("val"))
+    )
+
+
+@register(
+    "q118_histogram",
+    r"""
+    WITH mm AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+                FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           COALESCE(LEAST(CAST(floor((value - lo) * 10 / NULLIF(hi - lo, 0))
+                               AS BIGINT), 9), 0) AS bin,
+           COUNT(*) AS n
+    FROM events e JOIN mm USING (event_type)
+    GROUP BY e.event_type, bin
+    """,
+    doc=(
+        "two-pass equi-width histogram (10 bins per event type): pass 1 "
+        "computes per-group min/max (group-grain, tiny, BROADCAST back), "
+        "pass 2 bins every value JVM-side — the distribution profile "
+        "step of data validation. Bin arithmetic is the identical IEEE "
+        "expression ((v-lo)*10/(hi-lo), floor, clamp) on both engines, "
+        "so bucket assignment is exactly reproducible; degenerate "
+        "constant groups collapse to bin 0 via the NULLIF guard."
+    ),
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mm = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bin_col = F.coalesce(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                * 10
+                / F.nullif(F.col("hi") - F.col("lo"), F.lit(0))
+            ).cast("long"),
+            F.lit(9),
+        ),
+        F.lit(0),
+    )
+    return (
+        ev.join(F.broadcast(mm), "event_type")
+        .groupBy("event_type", bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

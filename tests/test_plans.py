@@ -210,3 +210,22 @@ def test_q113_lateral_decorrelates_to_group_limit(spark, sf_dir):
     # WindowGroupLimit — bounded shuffle, no per-customer execution
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q116_percentile_table_broadcast_back(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q116_winsorize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q117_sample_uses_group_limit(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q117_group_sample")
+    # hash-ordered per-group top-k: partial WindowGroupLimit bounds the
+    # shuffle to k rows per group per task
+    assert "WindowGroupLimit" in plan
+
+
+def test_q118_minmax_broadcast_back(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q118_histogram")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
