@@ -224,3 +224,28 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.round(quality_score(c), 6).alias("quality"),
         doc_fingerprint(c).alias("fingerprint"),
     )
+
+
+def cooccurrence_pairs(docs: DataFrame, text_col: str = "text", window: int = 2) -> DataFrame:
+    """Ordered skip-gram co-occurrence pairs ``(w1, w2)`` within a forward
+    window — one row per occurrence (count them to get the word2vec/GloVe
+    count table, as q109/q114 do).
+
+    Pairs are built by ``zip_with`` over two array slices per offset (no
+    index arithmetic, no OOB risk under ANSI mode) and exploded; the pair
+    key space is bounded by vocab**2 regardless of corpus size, so any
+    downstream aggregate — not the explode — is the only exchange.
+    """
+    toks = F.transform(tokens(F.col(text_col)), lambda w: F.lower(w))
+    n = F.size(toks)
+
+    def pairs_at(off: int) -> Column:
+        ln = F.greatest(n - off, F.lit(0))
+        return F.zip_with(
+            F.slice(toks, 1, ln),
+            F.slice(toks, 1 + off, ln),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+
+    allp = F.concat(*[pairs_at(o) for o in range(1, window + 1)])
+    return docs.select(F.explode(allp).alias("pr")).select("pr.w1", "pr.w2")

@@ -923,25 +923,11 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sanctum_spark.operators.text import tokens
-
-    toks = F.transform(tokens(F.col("text")), lambda w: F.lower(w))
-    n = F.size(toks)
-
-    def pairs_at(off: int):
-        ln = F.greatest(n - off, F.lit(0))
-        return F.zip_with(
-            F.slice(toks, 1, ln),
-            F.slice(toks, 1 + off, ln),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        )
+    from sanctum_spark.operators.text import cooccurrence_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(
-            F.explode(F.concat(pairs_at(1), pairs_at(2))).alias("pr")
-        )
-        .select("pr.w1", "pr.w2")
+        cooccurrence_pairs(docs, "text", window=2)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc())
