@@ -233,6 +233,111 @@ def minhash_near_duplicates(
     )
 
 
+def incremental_exact_new(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    content_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Incremental exact dedup: rows of ``new_df`` that survive dedup both
+    against themselves (lowest id kept per digest) and against the existing
+    ``base_df`` corpus (digest anti-join).
+
+    The daily-ingest shape of corpus maintenance: the base corpus never
+    rewrites — only its digest column ships into the anti-join, and the
+    new batch (typically ≪ base) dedups internally first so the anti-join
+    probe side is already distinct. Returns (id, digest).
+
+    At 100 TB: keep the base digests as a bucketed table on digest; the
+    anti-join is then shuffle-free on the base side, and the new batch's
+    one shuffle is bounded by the batch, not the corpus.
+    """
+    digest = F.md5(F.col(content_col))
+    new_min = (
+        new_df.select(F.col(id_col), digest.alias("digest"))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    base_digests = base_df.select(digest.alias("digest"))
+    return new_min.join(base_digests, "digest", "left_anti").select(id_col, "digest")
+
+
+def cross_corpus_near_duplicates(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora (new × base), MinHash-LSH
+    bucketed: a new document is flagged when any LSH band key collides with
+    a base document and the exact shingle Jaccard reaches ``threshold``.
+
+    Candidate generation joins new-side band keys against base-side band
+    keys (never new×new or base×base), so the join output is bounded by
+    true cross-corpus collisions; both sides share the same seeded hash
+    family, which is what makes signatures comparable across corpora and
+    across ingest days. Returns (new_id, base_id, est_jaccard, jaccard).
+    """
+    new_sigs = minhash_signatures(new_df, text_col, id_col, n_hashes, shingle_k).persist()
+    base_sigs = minhash_signatures(base_df, text_col, id_col, n_hashes, shingle_k).persist()
+    new_sigs.count()
+    base_sigs.count()
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        sig_len = F.size("sig")
+        return sigs.select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.hash(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    "sig",
+                                    b * (sig_len / bands).cast("int") + 1,
+                                    (sig_len / bands).cast("int"),
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ),
+                )
+            ).alias("band_id", "band_key"),
+        )
+
+    a = banded(new_sigs).alias("a")
+    b = banded(base_sigs).alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(F.col("a.id").alias("new_id"), F.col("b.id").alias("base_id"))
+        .distinct()
+    )
+    sh_new = new_sigs.select(F.col("id").alias("new_id"), F.col("shingles").alias("sh_a"), F.col("sig").alias("sig_a"))
+    sh_base = base_sigs.select(F.col("id").alias("base_id"), F.col("shingles").alias("sh_b"), F.col("sig").alias("sig_b"))
+    joined = cands.join(sh_new, "new_id").join(sh_base, "base_id")
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.withColumn("est_jaccard", agree / F.size("sig_a").cast("double"))
+        .withColumn("jaccard", inter / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "base_id", "est_jaccard", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

@@ -315,6 +315,163 @@ def ivf_topk(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def _sq_l2(a: Column, b: Column) -> Column:
+    d = F.zip_with(a, b, lambda x, y: x - y)
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iters: int = 2,
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: split the vector into
+    ``m`` subspaces and Lloyd-train ``ksub`` centroids per subspace.
+
+    Returns ``codebooks[j][c]`` = centroid ``c`` of subspace ``j`` (m × ksub
+    × dsub floats — a driver-side parameter, not a data collect). Seeding is
+    the ``ksub`` lowest-id vectors' subvectors, so training is reproducible
+    across runs/clusters. All ``m`` subspaces train in ONE job per Lloyd
+    iteration: the assignment is a scan-side projection and the new means
+    come from a single (subspace, code, pos) partial aggregate.
+
+    At 100 TB: train on a sampled fraction (like ``ivf_train``), then
+    ``pq_encode`` the full corpus — codes are m bytes/vector, a 32× memory
+    compression for 64-dim float32, which is what makes a corpus-wide ANN
+    index driver- and executor-resident at scale.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    seeds = df.orderBy(id_col).limit(ksub).select(vec_col).collect()
+    books = [
+        [[float(x) for x in r[0][j * dsub : (j + 1) * dsub]] for r in seeds]
+        for j in range(m)
+    ]
+    vec = _as_double(vec_col)
+    for _ in range(n_iters):
+        # one struct per subspace: (subspace id, assigned code, subvector)
+        subs = []
+        for j in range(m):
+            sv = F.slice(vec, j * dsub + 1, dsub)
+            best = F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            _sq_l2(sv, F.array(*[F.lit(x) for x in c])).alias("d"),
+                            F.lit(ci).alias("c"),
+                        )
+                        for ci, c in enumerate(books[j])
+                    ]
+                )
+            )
+            subs.append(
+                F.struct(F.lit(j).alias("j"), best["c"].alias("c"), sv.alias("sv"))
+            )
+        rows = (
+            df.select(F.explode(F.array(*subs)).alias("s"))
+            .select("s.j", "s.c", F.posexplode("s.sv").alias("pos", "x"))
+            .groupBy("j", "c", "pos")
+            .agg(F.avg("x").alias("mean"))
+            .collect()
+        )
+        means: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            means.setdefault((r["j"], r["c"]), {})[r["pos"]] = r["mean"]
+        books = [
+            [
+                [means[(j, c)][p] for p in sorted(means[(j, c)])]
+                if (j, c) in means
+                else books[j][c]
+                for c in range(ksub)
+            ]
+            for j in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Add an ``array<int>`` column of length m: per-subspace nearest
+    centroid by squared L2. Pure scan-side projection (the codebooks are
+    compiled into the expression), no shuffle, no UDF — at scale this runs
+    inside the parquet scan stage and the codes are what gets stored."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    vec = _as_double(vec_col)
+    codes = []
+    for j in range(m):
+        sv = F.slice(vec, j * dsub + 1, dsub)
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sq_l2(sv, F.array(*[F.lit(x) for x in c])).alias("d"),
+                        F.lit(ci).alias("c"),
+                    )
+                    for ci, c in enumerate(codebooks[j])
+                ]
+            )
+        )
+        codes.append(best["c"])
+    return df.withColumn(code_col, F.array(*codes).cast("array<int>"))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays exact; each corpus
+    vector is its m-byte PQ code. The driver precomputes the m × ksub
+    lookup table of partial squared distances; scoring a code is then m
+    array lookups + a sum — no vector arithmetic touches the corpus scan,
+    and the result reduces via TakeOrdered (no shuffle of the corpus).
+
+    Returns (id, adc_dist) ascending — approximate nearest neighbors.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if len(query_vec) != m * dsub:
+        raise ValueError(f"query dim {len(query_vec)} != {m * dsub}")
+    lut = [
+        [
+            sum(
+                (float(query_vec[j * dsub + p]) - c[p]) ** 2
+                for p in range(dsub)
+            )
+            for c in codebooks[j]
+        ]
+        for j in range(m)
+    ]
+    dist = sum(
+        (
+            F.element_at(
+                F.array(*[F.lit(d) for d in lut[j]]),
+                F.col(code_col)[j] + 1,
+            )
+            for j in range(m)
+        ),
+        start=F.lit(0.0),
+    )
+    return (
+        encoded.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_self_join_topk(
     df: DataFrame,
     k: int = 5,

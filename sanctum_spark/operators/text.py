@@ -226,6 +226,141 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def char_ngrams(col: str | Column, n: int = 3) -> Column:
+    """Character n-grams of the lowercased text as an array<string>.
+
+    Guarded for short strings: ``sequence(1, len-n+1)`` would DESCEND for
+    len < n (Spark generates [1, 0] for sequence(1, 0)), so texts shorter
+    than n yield an empty array instead."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (n - 1)),
+        lambda i: c.substr(i, F.lit(n)),
+    )
+    return F.when(F.length(c) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_lm_table(train: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Character-n-gram language-model count table: (gram, cnt).
+
+    The key space is bounded by charset^n (not corpus size), so the
+    groupBy's partial aggregation does almost all the work map-side and
+    the shuffle ships at most |vocab| rows per partition — this is the
+    KenLM-style count pass, scaled down to characters so it stays exact
+    and engine-portable."""
+    return (
+        train.select(F.explode(char_ngrams(text_col, n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    table: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Perplexity-proxy quality score: mean log-probability of each doc's
+    character n-grams under the unigram-of-n-grams model in ``table``,
+    with additive (add-alpha) smoothing for unseen grams.
+
+    Scale shape: the count table is vocabulary-bounded → broadcast; the
+    corpus side is explode + broadcast-hash left join + one groupBy(id)
+    whose payload is a single running (sum, n) — the canonical model-based
+    quality-filter pass (CCNet/KenLM shape) without leaving the JVM.
+    Returns (id, n_grams, lm_logp) with lm_logp = avg ln p(gram).
+    """
+    totals = table.agg(
+        F.sum("cnt").cast("double").alias("_total"),
+        F.count(F.lit(1)).cast("double").alias("_vocab"),
+    )
+    grams = docs.select(
+        F.col(id_col), F.explode(char_ngrams(text_col, n)).alias("gram")
+    )
+    logp = F.log(
+        (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + F.lit(alpha))
+        / (F.col("_total") + F.lit(alpha) * F.col("_vocab"))
+    )
+    return (
+        grams.join(F.broadcast(table), "gram", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.avg(logp).alias("lm_logp"),
+        )
+    )
+
+
+# deterministic PII surface: patterns are RE2- and Java-regex-compatible so
+# the scrub is reproducible in both Spark and the DuckDB oracle.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+\d[\d\-]{6,}\d", "<PHONE>"),
+}
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction pass: replace emails, IPv4 addresses and +intl phone
+    numbers with typed placeholders and count each class per document.
+
+    Order is fixed (email → ip → phone) so overlapping matches resolve
+    identically everywhere; counts are taken on the ORIGINAL text. Pure
+    per-row regexp work — no shuffle, composes with the scan."""
+    c = F.col(text_col)
+    counts = {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("long")
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+    clean = c
+    for name in ("email", "ip", "phone"):
+        pat, repl = PII_PATTERNS[name]
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        counts["email"].alias("n_email"),
+        counts["ip"].alias("n_ip"),
+        counts["phone"].alias("n_phone"),
+    )
+
+
+def quality_logit_score(col: str | Column, lang: str = "en") -> Column:
+    """Linear quality-classifier inference as a pure JVM expression: a
+    logistic model over the standard text-quality features (token count
+    saturation, stopword ratio, punctuation density, mean word length).
+
+    The weights are compiled into the scan — classifier inference over
+    100 TB is then a zero-shuffle projection, the fastText-scorer shape
+    without leaving codegen. Deterministic and SQL-expressible."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_tokens = F.size(toks).cast("double")
+    x_len = F.least(n_tokens / F.lit(400.0), F.lit(1.0))
+    x_sw = stopword_ratio(c, lang)
+    x_punct = punct_ratio(c)
+    mean_wlen = F.length(F.regexp_replace(c, r"\s+", "")) / F.greatest(
+        F.size(toks), F.lit(1)
+    ).cast("double")
+    x_wlen = F.least(mean_wlen / F.lit(10.0), F.lit(1.0))
+    z = (
+        F.lit(-1.0)
+        + F.lit(2.2) * x_len
+        + F.lit(1.5) * x_sw
+        - F.lit(3.0) * x_punct
+        + F.lit(0.8) * x_wlen
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
 def cooccurrence_pairs(docs: DataFrame, text_col: str = "text", window: int = 2) -> DataFrame:
     """Ordered skip-gram co-occurrence pairs ``(w1, w2)`` within a forward
     window — one row per occurrence (count them to get the word2vec/GloVe

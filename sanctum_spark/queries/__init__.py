@@ -61,6 +61,7 @@ def load_all_modules() -> None:
         coverage_q,
         pipeline_q,
         pipeline2_q,
+        pipeline3_q,
     )
 
 

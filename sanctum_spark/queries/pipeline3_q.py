@@ -1,0 +1,323 @@
+"""Pipeline queries, batch 3 (round 3): product-quantization ANN,
+incremental cross-corpus dedup, character-n-gram LM quality scoring,
+PII redaction, deterministic training shards, classifier inference.
+
+Every oracle is exact-deterministic (md5 digests, integer hex buckets,
+count tables, fixed regexes) so the driver's hash compare stays
+meaningful; sketch-style ops (PQ, cross-corpus MinHash) are rows-only
+with soundness asserted in tests/test_operators.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sanctum_spark.io import load_table
+from sanctum_spark.queries import register
+from sanctum_spark.queries.util import stable_round
+
+
+@register(
+    "q119_pq_ann",
+    None,
+    doc=(
+        "product-quantization ANN: deterministic per-subspace Lloyd "
+        "codebooks (m=8 subspaces x 16 centroids over 64 dims, trained in "
+        "one job per iteration), scan-side encoding to 8 small codes per "
+        "vector (a 32x memory compression at float32), and ADC top-10 for "
+        "the vec_id=0 query via a driver-computed 8x16 lookup table — "
+        "scoring never touches vector arithmetic and reduces with "
+        "TakeOrdered (no corpus shuffle). Rows-only (sketch op); recall vs "
+        "exact L2 + determinism asserted in tests/test_operators.py. At "
+        "100 TB: train on a sample, store codes next to the vectors, "
+        "re-rank the ADC shortlist with exact distances."
+    ),
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.similarity import pq_adc_topk, pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    # sampled training (deterministic quarter-slice), full-corpus encoding —
+    # the documented 100 TB split between the train and index passes.
+    books = pq_train(corpus.filter(F.col("vec_id") % 4 == 0), m=8, ksub=16, n_iters=1)
+    encoded = pq_encode(corpus, books)
+    return pq_adc_topk(encoded, books, qvec, k=10).select(
+        "vec_id", stable_round(F.col("adc_dist"), 5).alias("adc_dist")
+    )
+
+
+@register(
+    "q120_incremental_dedup",
+    r"""
+    WITH newd AS (
+        SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 3 = 0
+    ),
+    base AS (
+        SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 3 <> 0
+    ),
+    newmin AS (
+        SELECT digest, min(doc_id) AS doc_id FROM newd GROUP BY digest
+    )
+    SELECT doc_id, digest
+    FROM newmin n
+    WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.digest = n.digest)
+    """,
+    doc=(
+        "incremental (cross-corpus) exact dedup: the new batch (doc_id%3=0) "
+        "dedups internally (lowest id per md5 digest), then anti-joins the "
+        "existing corpus's digests — the daily-ingest shape where the base "
+        "corpus never rewrites and only its digest column ships. At 100 TB: "
+        "base digests live in a digest-bucketed table, so the anti-join is "
+        "shuffle-free on the corpus side and the batch's one shuffle is "
+        "bounded by the batch."
+    ),
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.dedup import incremental_exact_new
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    return incremental_exact_new(new, base, "text", "doc_id")
+
+
+@register(
+    "q121_cross_corpus_neardup",
+    None,
+    doc=(
+        "cross-corpus near-duplicate pairs (new batch doc_id%3=0 vs base "
+        "corpus): MinHash signatures from one shared seeded hash family on "
+        "both sides, LSH band keys joined new-against-base only (never "
+        "new x new or base x base), exact shingle-Jaccard verification on "
+        "the surviving candidates. Rows-only (LSH-dependent candidate "
+        "set); planted-duplicate recall asserted in "
+        "tests/test_operators.py. The incremental counterpart of q74: at "
+        "100 TB the base side's band keys are a precomputed bucketed "
+        "table, so each ingest day joins its batch against static buckets."
+    ),
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.dedup import cross_corpus_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    out = cross_corpus_near_duplicates(
+        new, base, "text", "doc_id", n_hashes=16, bands=4, threshold=0.5
+    )
+    return out.select(
+        "new_id",
+        "base_id",
+        stable_round(F.col("est_jaccard"), 6).alias("est_jaccard"),
+        stable_round(F.col("jaccard"), 6).alias("jaccard"),
+    )
+
+
+@register(
+    "q122_lm_score",
+    r"""
+    WITH tr AS (
+        SELECT doc_id, lower(text) AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(length(t) - 2, 0)),
+                   i -> substr(t, i, 3))) AS gram
+        FROM tr
+    ),
+    counts AS (
+        SELECT gram, COUNT(*) AS cnt FROM g WHERE doc_id % 5 <> 0 GROUP BY gram
+    ),
+    tot AS (
+        SELECT SUM(cnt) * 1.0 AS total, COUNT(*) * 1.0 AS vocab FROM counts
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           ROUND(AVG(ln((COALESCE(cnt, 0) + 0.5) / (total + 0.5 * vocab))) + 1e-9, 6)
+               AS lm_logp
+    FROM g LEFT JOIN counts USING (gram), tot
+    WHERE doc_id % 5 = 0
+    GROUP BY doc_id
+    """,
+    doc=(
+        "character-trigram LM quality score (perplexity proxy, the "
+        "CCNet/KenLM-style model-based filter): count table trained on the "
+        "held-in slice (doc_id%5<>0), each held-out doc scored by mean log "
+        "add-0.5-smoothed trigram probability. The count table is "
+        "vocabulary-bounded (charset^3, not corpus size) -> broadcast-hash "
+        "join; the corpus side is scan + explode + one groupBy(doc_id) "
+        "carrying a running (sum,n). Full SQL oracle."
+    ),
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.text import ngram_lm_score, ngram_lm_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = ngram_lm_table(docs.filter(F.col("doc_id") % 5 != 0), "text", n=3)
+    held_out = docs.filter(F.col("doc_id") % 5 == 0)
+    out = ngram_lm_score(held_out, table, "text", "doc_id", n=3, alpha=0.5)
+    return out.select(
+        "doc_id", "n_grams", stable_round(F.col("lm_logp"), 6).alias("lm_logp")
+    )
+
+
+@register(
+    "q123_pii_scrub",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                   AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(
+               regexp_replace(
+                   regexp_replace(t,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\+\d[\d\-]{6,}\d', '<PHONE>', 'g')) AS clean_digest,
+           CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_email,
+           CAST(len(regexp_extract_all(t,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(t, '\+\d[\d\-]{6,}\d')) AS BIGINT)
+               AS n_phone
+    FROM d
+    """,
+    doc=(
+        "PII redaction: emails / IPv4 / +intl phone numbers replaced with "
+        "typed placeholders in a fixed order (email -> ip -> phone), "
+        "per-class counts taken on the original text. Deterministic PII is "
+        "synthesized onto each doc from its id so the scrub is "
+        "hash-verifiable end-to-end (the output ships the md5 of the "
+        "scrubbed text). Pure per-row regexp projection: zero shuffle at "
+        "any scale."
+    ),
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.text import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1"),
+    )
+    scrubbed = pii_scrub(
+        docs.select("doc_id", pii_text.alias("text")), "text", "doc_id"
+    )
+    return scrubbed.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_digest"),
+        "n_email",
+        "n_ip",
+        "n_phone",
+    )
+
+
+@register(
+    "q124_train_shards",
+    r"""
+    WITH s AS (
+        SELECT doc_id,
+               strpos('0123456789abcdef', substr(md5(text), 32, 1)) - 1 AS shard,
+               substr(md5(text), 1, 16) AS sort_key
+        FROM documents
+    )
+    SELECT doc_id, shard, sort_key,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY sort_key, doc_id) AS BIGINT)
+               AS pos_in_shard
+    FROM s
+    """,
+    doc=(
+        "deterministic training-shard assignment + in-shard global "
+        "shuffle: shard = last md5 hex digit (16 shards), within-shard "
+        "order = md5 prefix (a reproducible content-keyed permutation — "
+        "no RNG state, identical across engines/runs/cluster sizes). The "
+        "write-side of training-data prep: at scale this is "
+        "repartition(shard) + sortWithinPartitions(sort_key) + write "
+        "partitionBy(shard); the one shuffle is the row_number's "
+        "per-shard exchange."
+    ),
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    md5 = F.md5("text")
+    shard = (
+        F.instr(F.lit("0123456789abcdef"), F.substring(md5, 32, 1)) - 1
+    ).cast("long")
+    s = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.substring(md5, 1, 16).alias("sort_key"),
+    )
+    w = W.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return s.withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+
+
+@register(
+    "q125_quality_classifier",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               len(str_split_regex(trim(text), '\s+')) * 1.0          AS n_tokens,
+               len(list_filter(str_split_regex(lower(trim(text)), '\s+'),
+                   w -> list_contains(['the','and','of','to','is','in','that','it'], w)))
+                   * 1.0 / GREATEST(len(str_split_regex(lower(trim(text)), '\s+')), 1)
+                                                                      AS x_sw,
+               (LENGTH(text) - LENGTH(regexp_replace(text, '[^\w\s]', '', 'g')))
+                   * 1.0 / GREATEST(LENGTH(text), 1)                  AS x_punct,
+               LENGTH(regexp_replace(text, '\s+', '', 'g')) * 1.0
+                   / GREATEST(len(str_split_regex(trim(text), '\s+')), 1)
+                                                                      AS mean_wlen
+        FROM documents
+    ),
+    z AS (
+        SELECT doc_id,
+               -1.0 + 2.2 * LEAST(n_tokens / 400.0, 1.0)
+                    + 1.5 * x_sw
+                    - 3.0 * x_punct
+                    + 0.8 * LEAST(mean_wlen / 10.0, 1.0) AS z
+        FROM t
+    )
+    SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)) + 1e-9, 6) AS quality_p
+    FROM z
+    WHERE 1.0 / (1.0 + exp(-z)) >= 0.5
+    """,
+    doc=(
+        "linear quality-classifier inference (the fastText-scorer shape): "
+        "logistic model over token-count saturation, stopword ratio, "
+        "punctuation density and mean word length, with the weights "
+        "compiled into the scan expression — classifier filtering over "
+        "100 TB as a zero-shuffle JVM projection. Keeps docs with "
+        "p >= 0.5. Full SQL oracle."
+    ),
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.text import quality_logit_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = quality_logit_score("text")
+    return (
+        docs.select("doc_id", p.alias("p"))
+        .filter(F.col("p") >= 0.5)
+        .select("doc_id", stable_round(F.col("p"), 6).alias("quality_p"))
+    )

@@ -577,3 +577,131 @@ def test_pagerank_unweighted_uniform_on_cycle(spark):
     )
     ranks = [r["rank"] for r in pagerank(df, n_iter=5).collect()]
     assert all(abs(v - 0.2) < 1e-12 for v in ranks)
+
+
+def test_pq_recall_and_determinism(spark, sf_dir):
+    """Product quantization: codes are deterministic, ADC distances are
+    the LUT-decomposed distances, and ADC top-10 recall vs exact L2
+    brute force is substantial for 8x16 codebooks on 64-dim vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    books = S.pq_train(corpus, m=8, ksub=16, n_iters=2)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+    enc = S.pq_encode(corpus, books)
+    codes = {r["vec_id"]: r["pq_code"] for r in enc.collect()}
+    assert all(len(v) == 8 and all(0 <= c < 16 for c in v) for v in codes.values())
+    again = {r["vec_id"]: r["pq_code"] for r in S.pq_encode(corpus, books).collect()}
+    assert codes == again
+    hits = S.pq_adc_topk(enc, books, qvec, k=10).collect()
+    assert len(hits) == 10
+    # ADC distance must match the driver-side reconstruction of the same code
+    import math
+
+    def adc(code):
+        d = 0.0
+        for j, c in enumerate(code):
+            cen = books[j][c]
+            d += sum((qvec[j * 8 + p] - cen[p]) ** 2 for p in range(8))
+        return d
+
+    for r in hits:
+        assert abs(r["adc_dist"] - adc(codes[r["vec_id"]])) < 1e-6
+    # recall@10 against exact L2 top-10 (ADC is approximate; 8x16 books on
+    # this corpus should recover a majority of the true neighbors)
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in corpus.collect()}
+    exact = sorted(
+        vecs, key=lambda i: sum((a - b) ** 2 for a, b in zip(vecs[i], qvec))
+    )[:10]
+    got = {r["vec_id"] for r in hits}
+    assert len(got & set(exact)) >= 5
+
+
+def test_pq_train_validates_dims(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="not divisible"):
+        S.pq_train(emb, m=7)
+
+
+def test_incremental_exact_new(spark, docs_with_planted):
+    """The planted exact duplicate (1_000_001 copies doc 1 in base) must be
+    dropped; new-side internal dups keep the lowest id."""
+    new = docs_with_planted.filter(
+        F.col("doc_id").isin([1, 2, 1_000_001])
+    )  # doc 1 & its copy + doc 2
+    base = docs_with_planted.filter(F.col("doc_id").isin([2, 3]))
+    kept = {r["doc_id"] for r in D.incremental_exact_new(new, base, "text", "doc_id").collect()}
+    # doc 2 is in base -> dropped; copy 1_000_001 loses to doc 1 internally
+    assert kept == {1}
+
+
+def test_cross_corpus_neardup_finds_planted(spark, docs_with_planted):
+    """The near-duplicate of doc 0 (id 10^6, one token appended) sits in
+    the 'new' side and must be caught against base doc 0."""
+    new = docs_with_planted.filter(F.col("doc_id") >= 1_000_000)
+    base = docs_with_planted.filter(F.col("doc_id") < 1_000_000)
+    pairs = D.cross_corpus_near_duplicates(
+        new, base, "text", "doc_id", threshold=0.5
+    ).collect()
+    assert any(r["new_id"] == 1_000_000 and r["base_id"] == 0 for r in pairs)
+    exact = [r for r in pairs if r["new_id"] == 1_000_001 and r["base_id"] == 1]
+    assert exact and abs(exact[0]["jaccard"] - 1.0) < 1e-12
+    # cross-only contract: no new x new or base x base pairs
+    assert all(r["new_id"] >= 1_000_000 > r["base_id"] for r in pairs)
+
+
+def test_pii_scrub_hand_checked(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@test.org or ping 192.168.0.1 tel +44-20-7946-0958"),
+            (2, "no pii here, just 3.14 and v1.2"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in TX.pii_scrub(df).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_ip"] == 1 and rows[1]["n_phone"] == 1
+    assert "<EMAIL>" in rows[1]["clean_text"]
+    assert "<IP>" in rows[1]["clean_text"]
+    assert "<PHONE>" in rows[1]["clean_text"]
+    assert "a.b+c@test.org" not in rows[1]["clean_text"]
+    assert rows[2]["n_email"] == 0 and rows[2]["n_ip"] == 0 and rows[2]["n_phone"] == 0
+    # "3.14" / "v1.2" must not be eaten by the IP pattern
+    assert "3.14" in rows[2]["clean_text"] and "v1.2" in rows[2]["clean_text"]
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    """Tiny corpus where the trigram counts are checkable by hand."""
+    import math
+
+    train = spark.createDataFrame([(1, "abcd")], ["doc_id", "text"])
+    # trigrams of 'abcd': abc, bcd -> each cnt 1; total=2, vocab=2
+    table = TX.ngram_lm_table(train, "text", n=3)
+    counts = {r["gram"]: r["cnt"] for r in table.collect()}
+    assert counts == {"abc": 1, "bcd": 1}
+    score_docs = spark.createDataFrame([(9, "abcz")], ["doc_id", "text"])
+    out = TX.ngram_lm_score(score_docs, table, "text", "doc_id", n=3, alpha=0.5).collect()
+    assert len(out) == 1 and out[0]["n_grams"] == 2
+    # grams: abc (cnt 1), bcz (cnt 0); p = (c+0.5)/(2+0.5*2)
+    expect = (math.log(1.5 / 3.0) + math.log(0.5 / 3.0)) / 2
+    assert abs(out[0]["lm_logp"] - expect) < 1e-12
+    # short text -> zero grams -> doc drops out (both engines agree)
+    short = spark.createDataFrame([(5, "ab")], ["doc_id", "text"])
+    assert TX.ngram_lm_score(short, table, "text", "doc_id").count() == 0
+
+
+def test_quality_logit_monotone(spark):
+    """Longer clean text outscores short punctuation-heavy text."""
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is a fine day in the sun " * 20),
+            (2, "!!! ??? ... ###"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r["p"]
+        for r in df.select("doc_id", TX.quality_logit_score("text").alias("p")).collect()
+    }
+    assert 0.0 < rows[2] < rows[1] < 1.0
+    assert rows[1] > 0.5 and rows[2] < 0.5
