@@ -46,26 +46,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); make the reader surface
-        # it as long even on sessions not built by sanctum_spark.session
-        # (e.g. the driver's own SparkSession) — this conf is dynamic.
+        # Older generations of events.parquet store TIMESTAMP(NANOS);
+        # surface those as long even on sessions not built by
+        # sanctum_spark.session (e.g. the driver's own SparkSession —
+        # this conf is dynamic). Harmless for µs-encoded data.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # the µs timestamp derived below is session-TZ-sensitive
-        # (timestamp_micros + date_trunc); pin UTC so results match the
-        # TZ-naive DuckDB oracle regardless of the host session's TZ
+        # the derived ts/ts_ns columns are session-TZ-sensitive
+        # (timestamp_micros / unix_micros + date_trunc); pin UTC so results
+        # match the TZ-naive DuckDB oracle regardless of the host's TZ
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) on disk, surfaced as a long by
-        # spark.sql.legacy.parquet.nanosAsLong (session.py).  Expose both:
+        # events.ts has shipped in two encodings across testdata
+        # generations: TIMESTAMP(NANOS) (surfaced as a nanosecond long via
+        # nanosAsLong) and plain timestamp[us] (surfaced as TIMESTAMP_NTZ).
+        # Adapt on schema and expose the same two columns either way:
         # - ts:    µs-precision TimestampType (Spark's native maximum)
         # - ts_ns: the exact nanosecond epoch for lossless comparisons
+        #   (for µs data ns = µs*1000, matching DuckDB's epoch_ns exactly)
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
+        if isinstance(df.schema["ts"].dataType, LongType):
+            ts_col = F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
+            ns_col = F.col("ts")
+        else:
+            # cast NTZ -> TimestampType under the pinned-UTC session so
+            # downstream code sees one type for both encodings
+            ts_col = F.col("ts").cast("timestamp")
+            ns_col = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
         df = df.select(
             "event_id",
-            F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")).alias("ts"),
-            F.col("ts").alias("ts_ns"),
+            ts_col.alias("ts"),
+            ns_col.alias("ts_ns"),
             "user_id",
             "event_type",
             "value",
