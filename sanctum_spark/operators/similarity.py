@@ -15,6 +15,8 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -320,6 +322,48 @@ def _sq_l2(a: Column, b: Column) -> Column:
     return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
 
 
+def _codes_np(V, books):
+    """numpy nearest-centroid codes: V (n, dim) float64, books (m, ksub,
+    dsub) → (n, m) int32.  argmin over |c|^2 - 2·X@C.T (the row-constant
+    |sv|^2 drops out of the argmin); ties resolve to the lowest code, the
+    same tie-break as a (distance, code) struct-min."""
+    m, ksub, dsub = books.shape
+    codes = np.empty((V.shape[0], m), dtype=np.int32)
+    for j in range(m):
+        X = V[:, j * dsub : (j + 1) * dsub]
+        scores = (books[j] ** 2).sum(axis=1)[None, :] - 2.0 * (X @ books[j].T)
+        codes[:, j] = scores.argmin(axis=1)
+    return codes
+
+
+def _pq_assign_udf(codebooks: list[list[list[float]]]):
+    """Arrow-vectorized PQ assignment: array<vec> → array<int> codes.
+
+    Why a Pandas UDF and not Catalyst expressions: the assignment is a
+    dense (n × m×ksub×dsub) numeric kernel.  Both formulations tried as
+    JVM expressions — per-centroid zip_with/aggregate lambdas, then a flat
+    |c|²−2·sv·c multiply-add tree — spend 5-13 s per DISTINCT PLAN in
+    analysis + Janino codegen (measured at sf0.01, where the data itself
+    scans in milliseconds), because the tree has ~2k nodes replicated per
+    subspace.  The Arrow kernel is two BLAS-shaped numpy ops per subspace,
+    has O(1) plan cost, and is the FAISS-style production shape for PQ
+    encode.  Scoring/ADC stays JVM-side (small LUT expressions).
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    books = np.asarray(codebooks, dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        codes = _codes_np(V, books)
+        return pd.Series(list(codes))
+
+    return assign
+
+
 def pq_train(
     df: DataFrame,
     m: int = 8,
@@ -333,10 +377,13 @@ def pq_train(
 
     Returns ``codebooks[j][c]`` = centroid ``c`` of subspace ``j`` (m × ksub
     × dsub floats — a driver-side parameter, not a data collect). Seeding is
-    the ``ksub`` lowest-id vectors' subvectors, so training is reproducible
-    across runs/clusters. All ``m`` subspaces train in ONE job per Lloyd
-    iteration: the assignment is a scan-side projection and the new means
-    come from a single (subspace, code, pos) partial aggregate.
+    deterministic farthest-point over a hash-ordered sample, so training is
+    reproducible across runs/clusters. All ``m`` subspaces train in ONE job
+    per Lloyd iteration: an Arrow ``mapInPandas`` pass emits per-batch
+    (subspace, code, pos) partial sums/counts (m·ksub·dsub rows per batch —
+    bytes, independent of batch size) and one tiny aggregate merges them;
+    the numpy assignment kernel is shared with ``pq_encode`` (see
+    ``_pq_assign_udf`` for why this beats Catalyst expressions here).
 
     At 100 TB: train on a sampled fraction (like ``ivf_train``), then
     ``pq_encode`` the full corpus — codes are m bytes/vector, a 32× memory
@@ -347,41 +394,71 @@ def pq_train(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
-    seeds = df.orderBy(id_col).limit(ksub).select(vec_col).collect()
-    books = [
-        [[float(x) for x in r[0][j * dsub : (j + 1) * dsub]] for r in seeds]
-        for j in range(m)
+    # Deterministic farthest-point seeding per subspace on a hash-ordered
+    # driver-side sample (a parameter-fit sample, not a data collect; at
+    # 100 TB the sample size stays 32*ksub regardless of corpus size).
+    # Lowest-id seeding collapsed recall when early ids were correlated —
+    # neighboring codebook entries started near-identical and Lloyd could
+    # not pull them apart.
+    sample = [
+        [float(x) for x in r[0]]
+        for r in df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(max(32 * ksub, 256))
+        .collect()
     ]
-    vec = _as_double(vec_col)
+    books = []
+    for j in range(m):
+        pts = [v[j * dsub : (j + 1) * dsub] for v in sample]
+        seeds = [pts[0]]
+        while len(seeds) < ksub:
+            far = max(
+                pts,
+                key=lambda p: min(
+                    sum((a - b) ** 2 for a, b in zip(p, s)) for s in seeds
+                ),
+            )
+            seeds.append(far)
+        books.append([list(s) for s in seeds])
     for _ in range(n_iters):
-        # one struct per subspace: (subspace id, assigned code, subvector)
-        subs = []
-        for j in range(m):
-            sv = F.slice(vec, j * dsub + 1, dsub)
-            best = F.array_min(
-                F.array(
-                    *[
-                        F.struct(
-                            _sq_l2(sv, F.array(*[F.lit(x) for x in c])).alias("d"),
-                            F.lit(ci).alias("c"),
-                        )
-                        for ci, c in enumerate(books[j])
-                    ]
+        books_np = np.asarray(books, dtype=np.float64)
+
+        def partials(batches, _b=books_np):
+            mm, kk, dd = _b.shape
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 0]]
                 )
-            )
-            subs.append(
-                F.struct(F.lit(j).alias("j"), best["c"].alias("c"), sv.alias("sv"))
-            )
+                codes = _codes_np(V, _b)
+                out = {"j": [], "c": [], "pos": [], "s": [], "n": []}
+                for j in range(mm):
+                    X = V[:, j * dd : (j + 1) * dd]
+                    for c in range(kk):
+                        mask = codes[:, j] == c
+                        cnt = int(mask.sum())
+                        if not cnt:
+                            continue
+                        sums = X[mask].sum(axis=0)
+                        for p in range(dd):
+                            out["j"].append(j)
+                            out["c"].append(c)
+                            out["pos"].append(p)
+                            out["s"].append(float(sums[p]))
+                            out["n"].append(cnt)
+                yield pd.DataFrame(out)
+
         rows = (
-            df.select(F.explode(F.array(*subs)).alias("s"))
-            .select("s.j", "s.c", F.posexplode("s.sv").alias("pos", "x"))
+            df.select(F.col(vec_col))
+            .mapInPandas(partials, "j int, c int, pos int, s double, n long")
             .groupBy("j", "c", "pos")
-            .agg(F.avg("x").alias("mean"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         means: dict[tuple[int, int], dict[int, float]] = {}
         for r in rows:
-            means.setdefault((r["j"], r["c"]), {})[r["pos"]] = r["mean"]
+            means.setdefault((r["j"], r["c"]), {})[r["pos"]] = r["s"] / r["n"]
         books = [
             [
                 [means[(j, c)][p] for p in sorted(means[(j, c)])]
@@ -401,28 +478,12 @@ def pq_encode(
     code_col: str = "pq_code",
 ) -> DataFrame:
     """Add an ``array<int>`` column of length m: per-subspace nearest
-    centroid by squared L2. Pure scan-side projection (the codebooks are
-    compiled into the expression), no shuffle, no UDF — at scale this runs
-    inside the parquet scan stage and the codes are what gets stored."""
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    vec = _as_double(vec_col)
-    codes = []
-    for j in range(m):
-        sv = F.slice(vec, j * dsub + 1, dsub)
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _sq_l2(sv, F.array(*[F.lit(x) for x in c])).alias("d"),
-                        F.lit(ci).alias("c"),
-                    )
-                    for ci, c in enumerate(codebooks[j])
-                ]
-            )
-        )
-        codes.append(best["c"])
-    return df.withColumn(code_col, F.array(*codes).cast("array<int>"))
+    centroid by squared L2.  Arrow-vectorized scan-side projection — no
+    shuffle; at scale this runs right after the parquet scan and the codes
+    are what gets stored (m bytes/vector).  See ``_pq_assign_udf`` for the
+    measured JVM-expression-vs-Arrow tradeoff."""
+    assign = _pq_assign_udf(codebooks)
+    return df.withColumn(code_col, assign(F.col(vec_col)))
 
 
 def pq_adc_topk(
@@ -432,6 +493,8 @@ def pq_adc_topk(
     k: int = 10,
     id_col: str = "vec_id",
     code_col: str = "pq_code",
+    rerank: int = 0,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: the query stays exact; each corpus
     vector is its m-byte PQ code. The driver precomputes the m × ksub
@@ -440,6 +503,15 @@ def pq_adc_topk(
     and the result reduces via TakeOrdered (no shuffle of the corpus).
 
     Returns (id, adc_dist) ascending — approximate nearest neighbors.
+
+    With ``rerank=N`` (the production IVFADC shape), the ADC pass produces
+    an N-id shortlist (N ≥ k, typically 10k); exact squared L2 is then
+    computed ONLY for those N rows and the final top-k is exact-ranked.
+    The shortlist is k·mult driver-side ids (bytes, not data), the re-rank
+    scan is pruned by an `isin` pushdown, and recall approaches exact
+    brute force while the corpus-wide pass still never touches vector
+    arithmetic. Column stays ``adc_dist`` (it now carries the exact
+    distance for the survivors).
     """
     m = len(codebooks)
     dsub = len(codebooks[0][0])
@@ -465,8 +537,20 @@ def pq_adc_topk(
         ),
         start=F.lit(0.0),
     )
-    return (
+    adc = (
         encoded.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(max(k, rerank))
+    )
+    if rerank <= 0:
+        return adc.limit(k)
+    shortlist = [r[0] for r in adc.select(id_col).collect()]
+    vec = _as_double(vec_col)
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact = _sq_l2(vec, qarr)
+    return (
+        encoded.filter(F.col(id_col).isin(shortlist))
+        .select(F.col(id_col), exact.alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col))
         .limit(k)
     )

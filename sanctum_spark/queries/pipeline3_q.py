@@ -25,13 +25,14 @@ from sanctum_spark.queries.util import stable_round
         "product-quantization ANN: deterministic per-subspace Lloyd "
         "codebooks (m=8 subspaces x 16 centroids over 64 dims, trained in "
         "one job per iteration), scan-side encoding to 8 small codes per "
-        "vector (a 32x memory compression at float32), and ADC top-10 for "
+        "vector (a 32x memory compression at float32), ADC shortlist for "
         "the vec_id=0 query via a driver-computed 8x16 lookup table — "
         "scoring never touches vector arithmetic and reduces with "
-        "TakeOrdered (no corpus shuffle). Rows-only (sketch op); recall vs "
-        "exact L2 + determinism asserted in tests/test_operators.py. At "
-        "100 TB: train on a sample, store codes next to the vectors, "
-        "re-rank the ADC shortlist with exact distances."
+        "TakeOrdered (no corpus shuffle) — then exact re-rank of the "
+        "100-id shortlist (isin-pruned scan) for near-brute-force recall. "
+        "Rows-only (sketch op); recall vs exact L2 + determinism asserted "
+        "in tests/test_operators.py. At 100 TB: train on a sample, store "
+        "codes next to the vectors, probe + re-rank exactly as here."
     ),
 )
 def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,9 +43,9 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") != 0)
     # sampled training (deterministic quarter-slice), full-corpus encoding —
     # the documented 100 TB split between the train and index passes.
-    books = pq_train(corpus.filter(F.col("vec_id") % 4 == 0), m=8, ksub=16, n_iters=1)
+    books = pq_train(corpus.filter(F.col("vec_id") % 4 == 0), m=8, ksub=16, n_iters=4)
     encoded = pq_encode(corpus, books)
-    return pq_adc_topk(encoded, books, qvec, k=10).select(
+    return pq_adc_topk(encoded, books, qvec, k=10, rerank=100).select(
         "vec_id", stable_round(F.col("adc_dist"), 5).alias("adc_dist")
     )
 
