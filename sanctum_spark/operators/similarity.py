@@ -241,21 +241,31 @@ def ivf_assign(
 ) -> DataFrame:
     """Add a ``list_id`` column: index of the nearest centroid by cosine.
 
-    Centroids are a small driver-side parameter (k × dim floats) compiled
-    into the scan expression — assignment is a pure projection, no shuffle,
-    no UDF. Ties break to the lowest list id.
+    Centroids are a small driver-side parameter (k × dim floats) shipped
+    in the UDF closure — assignment is an Arrow-vectorized projection
+    (normalized matmul + argmax), no shuffle.  Ties break to the lowest
+    list id (numpy argmax returns the first maximum).  A per-centroid
+    Catalyst expression variant was measured: k zip_with/aggregate dots
+    cost seconds of plan analysis/codegen per distinct plan at any data
+    size (see ``_pq_assign_udf``), while the kernel's plan cost is O(1).
+    Zero vectors assign to list 0 (cosine treated as 0 to every list).
     """
-    vec = _as_double(vec_col)
-    nrm = F.sqrt(_dot(vec, vec))
-    scored = []
-    for i, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        cos = _dot(vec, carr) / (nrm * F.lit(cn))
-        # max of (cos, -i) structs → highest cosine, lowest i on ties
-        scored.append(F.struct(cos.alias("s"), F.lit(-i).alias("ni")))
-    best = F.array_max(F.array(*scored))
-    return df.withColumn("list_id", (-best["ni"]).cast("int"))
+    from pyspark.sql.types import IntegerType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1), 1e-300)[:, None]
+
+    @F.pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        nrm = np.linalg.norm(V, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        scores = (V / nrm[:, None]) @ Cn.T
+        return pd.Series(scores.argmax(axis=1).astype("int32"))
+
+    return df.withColumn("list_id", assign(F.col(vec_col)))
 
 
 def ivf_train(
@@ -266,9 +276,10 @@ def ivf_train(
     n_iters: int = 2,
 ) -> list[list[float]]:
     """Deterministic IVF coarse quantizer: seed with the k lowest-id
-    vectors, then ``n_iters`` Lloyd steps (assign via projection, new
-    means via posexplode + partial agg). Only k × dim scalars ever reach
-    the driver — a parameter fetch, not a data collect.
+    vectors, then ``n_iters`` Lloyd steps (Arrow-kernel assignment, new
+    means from per-batch (list, pos) partial sums + one tiny merge
+    aggregate). Only k × dim scalars ever reach the driver — a parameter
+    fetch, not a data collect.
 
     At 100 TB: train on a sampled fraction, then ``ivf_assign`` + write
     partitioned by ``list_id`` so searches are partition-pruned scans
@@ -277,16 +288,45 @@ def ivf_train(
     seeds = df.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in seeds]
     for _ in range(n_iters):
+        C = np.asarray(centroids, dtype=np.float64)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1), 1e-300)[:, None]
+
+        def partials(batches, _cn=Cn):
+            # per-batch (list_id, pos, sum, count) partials — the same
+            # bytes-per-batch merge shape as pq_train.
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 0]]
+                )
+                nrm = np.linalg.norm(V, axis=1)
+                nrm[nrm == 0.0] = 1.0
+                a = ((V / nrm[:, None]) @ _cn.T).argmax(axis=1)
+                out = {"c": [], "pos": [], "s": [], "n": []}
+                for c in range(_cn.shape[0]):
+                    mask = a == c
+                    cnt = int(mask.sum())
+                    if not cnt:
+                        continue
+                    sums = V[mask].sum(axis=0)
+                    for p, sv in enumerate(sums):
+                        out["c"].append(c)
+                        out["pos"].append(p)
+                        out["s"].append(float(sv))
+                        out["n"].append(cnt)
+                yield pd.DataFrame(out)
+
         rows = (
-            ivf_assign(df, centroids, vec_col)
-            .select("list_id", F.posexplode(_as_double(vec_col)).alias("pos", "x"))
-            .groupBy("list_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            df.select(F.col(vec_col))
+            .mapInPandas(partials, "c int, pos int, s double, n long")
+            .groupBy("c", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         by_list: dict[int, dict[int, float]] = {}
         for r in rows:
-            by_list.setdefault(r["list_id"], {})[r["pos"]] = r["m"]
+            by_list.setdefault(r["c"], {})[r["pos"]] = r["s"] / r["n"]
         centroids = [
             [by_list[i][p] for p in sorted(by_list[i])] if i in by_list else c
             for i, c in enumerate(centroids)
