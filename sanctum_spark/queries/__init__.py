@@ -62,6 +62,7 @@ def load_all_modules() -> None:
         pipeline_q,
         pipeline2_q,
         pipeline3_q,
+        pipeline4_q,
     )
 
 

@@ -1,0 +1,174 @@
+"""Pipeline queries, batch 4 (round 3): training-mix construction and
+data layout.
+
+- q126: quality-weighted importance sampling (the "sample proportional
+  to quality score" stage of a data-mix pipeline), deterministic via
+  content-hash uniforms so the same doc survives on every engine, run,
+  and cluster layout.
+- q127: domain/language rebalancing — downsample every language to the
+  smallest language's volume (uniform mix), rates derived from group
+  counts, applied as a scan-side hash filter.
+- q128: Z-order (Morton) clustering key — the multi-dimension layout
+  used so parquet min/max footers prune scans on ANY clustered column
+  (operators/layout.py has the full repartition+sort operator).
+
+All three are exact-deterministic with full SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sanctum_spark.io import load_table
+from sanctum_spark.queries import register
+from sanctum_spark.queries.util import stable_round
+
+# A uniform in [0, 65536) from the last four md5 hex digits of the text —
+# the cross-engine-identical "RNG" used by every sampling query (same
+# idiom as q93's single-digit bucket, 4096x finer).  Spark `instr` and
+# DuckDB `strpos` are both 1-based, so digits come out in 0..15.
+_HEX = "0123456789abcdef"
+
+
+def _u16_spark(col: str = "text") -> F.Column:
+    u = F.lit(0)
+    for k, pos in enumerate((29, 30, 31, 32)):
+        d = F.expr(f"instr('{_HEX}', substring(md5({col}), {pos}, 1))") - 1
+        u = u + d * (16 ** (3 - k))
+    return u.cast("long")
+
+
+def _u16_sql(col: str = "text") -> str:
+    terms = [
+        f"(strpos('{_HEX}', substr(md5({col}), {pos}, 1)) - 1) * {16 ** (3 - k)}"
+        for k, pos in enumerate((29, 30, 31, 32))
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "q126_weighted_sample",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               LEAST(1.0, length(text) / 1000.0) AS w,
+               {_u16_sql()} AS u
+        FROM documents
+    )
+    SELECT doc_id, ROUND(w + 1e-9, 6) AS w
+    FROM s
+    WHERE u < w * 65536
+    """,
+    doc=(
+        "quality-weighted importance sampling: each document survives "
+        "with probability equal to its quality weight (here a "
+        "length-based proxy, min(1, len/1000)), decided by comparing a "
+        "content-hash uniform u16 against w*65536 — deterministic across "
+        "engines/runs/cluster layouts, no RNG state, and at scale a pure "
+        "scan-side filter (zero shuffle). The sample-proportional-to-"
+        "quality stage of training-mix construction."
+    ),
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.least(F.lit(1.0), F.length("text") / F.lit(1000.0))
+    return (
+        docs.select(
+            "doc_id",
+            w.alias("w"),
+            _u16_spark().alias("u"),
+        )
+        .filter(F.col("u") < F.col("w") * 65536)
+        .select("doc_id", stable_round(F.col("w"), 6).alias("w"))
+    )
+
+
+@register(
+    "q127_domain_mix",
+    f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n) * 1.0 AS mn FROM c),
+    s AS (
+        SELECT d.lang, {_u16_sql("d.text")} AS u, c.n, m.mn
+        FROM documents d JOIN c USING (lang), m
+    )
+    SELECT lang, COUNT(*) AS n_kept
+    FROM s
+    WHERE u < mn / n * 65536
+    GROUP BY lang
+    """,
+    doc=(
+        "domain/language rebalancing to a uniform mix: every language is "
+        "downsampled to ~the smallest language's volume. Per-language "
+        "rates derive from one group-grain count aggregate (tiny at any "
+        "corpus size, BROADCAST back); the keep/drop decision is the "
+        "same content-hash uniform as q126, applied scan-side. The "
+        "balance-the-data-mix stage of corpus curation: one tiny shuffle "
+        "for counts, one for the final per-language tally, corpus rows "
+        "never shuffle."
+    ),
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mn = counts.agg(F.min("n").cast("double").alias("mn"))
+    return (
+        docs.select("lang", _u16_spark().alias("u"))
+        .join(F.broadcast(counts), "lang")
+        .join(F.broadcast(mn))
+        .filter(F.col("u") < F.col("mn") / F.col("n") * 65536)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+def _interleave_sql(xcol: str, ycol: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({xcol} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({ycol} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "q128_zorder_key",
+    f"""
+    WITH b AS (
+        SELECT o_orderkey,
+               o_custkey & 65535 AS xb,
+               datediff('day', DATE '1992-01-01', o_orderdate) & 65535 AS yb
+        FROM orders
+    )
+    SELECT o_orderkey, {_interleave_sql("xb", "yb")} AS zval
+    FROM b
+    ORDER BY zval, o_orderkey
+    LIMIT 50
+    """,
+    doc=(
+        "Z-order (Morton) clustering key over (customer, order date): "
+        "bit-interleave inside the scan projection — the layout key "
+        "under operators/layout.py::zorder_by, which range-partitions "
+        "and sorts on it so parquet min/max footers stay tight in BOTH "
+        "dimensions and predicates on either column prune files. Exact "
+        "SQL oracle (the same 32-term interleave); zero shuffle here "
+        "beyond TakeOrdered."
+    ),
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.layout import zvalue
+
+    orders = load_table(spark, sf_dir, "orders")
+    xb = F.col("o_custkey").cast("long").bitwiseAND(F.lit(65535))
+    yb = (
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("long")
+        .bitwiseAND(F.lit(65535))
+    )
+    return (
+        orders.select(
+            "o_orderkey", zvalue([xb, yb], bits=16).alias("zval")
+        )
+        .orderBy("zval", "o_orderkey")
+        .limit(50)
+    )

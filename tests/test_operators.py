@@ -714,3 +714,65 @@ def test_quality_logit_monotone(spark):
     }
     assert 0.0 < rows[2] < rows[1] < 1.0
     assert rows[1] > 0.5 and rows[2] < 0.5
+
+
+def test_zorder_layout_tightens_both_dims(spark, sf_dir):
+    """zorder_by clusters partitions so per-partition ranges stay tight
+    in BOTH dimensions; a one-column sort leaves the second dimension's
+    per-partition range at ~full width."""
+    from sanctum_spark.operators.layout import zorder_by, zvalue
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.datediff("o_orderdate", F.lit("1992-01-01")).alias("d")
+    )
+
+    def span_fraction(df, col):
+        """mean per-partition (max-min) / global (max-min)."""
+        g = df.agg(
+            (F.max(col) - F.min(col)).cast("double").alias("span")
+        ).first()["span"]
+        parts = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg((F.max(col) - F.min(col)).cast("double").alias("span"))
+            .agg(F.avg("span").alias("m"))
+            .first()["m"]
+        )
+        return parts / g
+
+    n_parts = 8
+    zed = zorder_by(orders, ["o_custkey", "d"], n_partitions=n_parts).persist()
+    lex = orders.repartitionByRange(n_parts, "o_custkey").sortWithinPartitions(
+        "o_custkey"
+    ).persist()
+    try:
+        assert zed.count() == orders.count()
+        # lexicographic: first column tight, second ~full width
+        assert span_fraction(lex, "o_custkey") < 0.3
+        assert span_fraction(lex, "d") > 0.7
+        # z-order: BOTH dimensions substantially tighter than full width
+        zc, zd = span_fraction(zed, "o_custkey"), span_fraction(zed, "d")
+        assert zc < 0.65 and zd < 0.65, (zc, zd)
+    finally:
+        zed.unpersist()
+        lex.unpersist()
+
+
+def test_zvalue_matches_reference_interleave(spark):
+    """Morton code bit-placement: zvalue(x, y) interleaves x at even and
+    y at odd bit positions."""
+    from sanctum_spark.operators.layout import zvalue
+
+    df = spark.createDataFrame([(3, 5), (0, 0), (65535, 65535)], ["x", "y"])
+    out = df.select(
+        zvalue([F.col("x"), F.col("y")], bits=16).alias("z")
+    ).collect()
+
+    def ref(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert [r["z"] for r in out] == [ref(3, 5), ref(0, 0), ref(65535, 65535)]
