@@ -68,7 +68,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql.types import LongType
 
         if isinstance(df.schema["ts"].dataType, LongType):
-            ts_col = F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
+            # FLOOR division ns→µs (DIV truncates toward zero, which would
+            # shift pre-epoch timestamps one µs late vs DuckDB's flooring
+            # epoch conversion). Integer-exact: no double roundtrip, which
+            # at ~1.7e18 ns would cost up to ~256 ns of mantissa error.
+            ts_col = F.timestamp_micros(
+                F.expr(
+                    "CAST(ts DIV 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END) AS LONG)"
+                )
+            )
             ns_col = F.col("ts")
         else:
             # cast NTZ -> TimestampType under the pinned-UTC session so
