@@ -12,7 +12,12 @@ data layout.
   used so parquet min/max footers prune scans on ANY clustered column
   (operators/layout.py has the full repartition+sort operator).
 
-All three are exact-deterministic with full SQL oracles.
+- q129: BPE tokenizer construction — merge table learned from the
+  word-frequency table, corpus re-tokenized with an Arrow kernel
+  (operators/bpe.py).
+
+q126-q128 are exact-deterministic with full SQL oracles; q129 is
+rows-only (iterative merge loop, not SQL-expressible).
 """
 
 from __future__ import annotations
@@ -171,4 +176,34 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zval", "o_orderkey")
         .limit(50)
+    )
+
+
+@register(
+    "q129_bpe_vocab",
+    None,
+    doc=(
+        "BPE tokenizer construction (Sennrich 2016 / GPT-2 shape): merges "
+        "learned from the word-FREQUENCY table (vocabulary-bounded at any "
+        "corpus size — the only corpus pass is one map-side-combined word "
+        "count), then the corpus re-tokenized with the learned table as a "
+        "zero-shuffle Arrow kernel with per-batch word memoization. "
+        "Returns the top-30 BPE symbols by corpus frequency. Rows-only "
+        "(BPE's iterative merge loop is not SQL-expressible); merge-order "
+        "determinism, word-boundary safety, and encode idempotence "
+        "asserted in tests/test_operators.py."
+    ),
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.bpe import bpe_apply, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=60, max_words=20_000)
+    toks = bpe_apply(docs, merges, "text")
+    return (
+        toks.select(F.explode("bpe_tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(30)
     )

@@ -776,3 +776,49 @@ def test_zvalue_matches_reference_interleave(spark):
         return z
 
     assert [r["z"] for r in out] == [ref(3, 5), ref(0, 0), ref(65535, 65535)]
+
+
+def test_bpe_train_deterministic_and_boundary_safe(spark, sf_dir):
+    from sanctum_spark.operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    m1 = B.bpe_train(docs, n_merges=40, max_words=5000)
+    m2 = B.bpe_train(docs, n_merges=40, max_words=5000)
+    assert m1 == m2 and 0 < len(m1) <= 40
+    # no merge crosses a word boundary: END only ever terminates a symbol
+    for a, b in m1:
+        assert B.END not in a
+        assert not (B.END in b and b != B.END and not b.endswith(B.END))
+
+
+def test_bpe_apply_reconstructs_text(spark, sf_dir):
+    from sanctum_spark.operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    merges = B.bpe_train(docs, n_merges=30, max_words=5000)
+    out = B.bpe_apply(docs, merges).select("doc_id", "text", "bpe_tokens").collect()
+    for r in out:
+        # stripping the end-of-word markers must reproduce the words
+        rebuilt = "".join(r["bpe_tokens"]).replace(B.END, " ").split()
+        assert rebuilt == str(r["text"]).lower().split()
+    # idempotent tokenization
+    again = B.bpe_apply(docs, merges).select("doc_id", "bpe_tokens").collect()
+    assert {r["doc_id"]: r["bpe_tokens"] for r in again} == {
+        r["doc_id"]: r["bpe_tokens"] for r in out
+    }
+
+
+def test_bpe_merges_reduce_token_count(spark, sf_dir):
+    from sanctum_spark.operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    merges = B.bpe_train(docs, n_merges=50, max_words=5000)
+    n_char = (
+        B.bpe_apply(docs, [], "text")
+        .select(F.size("bpe_tokens").alias("k")).agg(F.sum("k")).first()[0]
+    )
+    n_bpe = (
+        B.bpe_apply(docs, merges, "text")
+        .select(F.size("bpe_tokens").alias("k")).agg(F.sum("k")).first()[0]
+    )
+    assert n_bpe < n_char  # merges compress the token stream
