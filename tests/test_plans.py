@@ -229,3 +229,25 @@ def test_q118_minmax_broadcast_back(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q118_histogram")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q126_weighted_sample_is_scan_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q126_weighted_sample")
+    # pure scan-side filter: no shuffle, no join — the keep/drop decision
+    # never moves a row
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_q127_domain_mix_counts_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q127_domain_mix")
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q128_zorder_key_takeordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q128_zorder_key")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
