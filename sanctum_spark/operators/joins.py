@@ -228,3 +228,53 @@ def range_join(
         for k in keys:
             cond = (left[k] == right[k]) & cond
     return left.join(right, cond, how)
+
+
+def binned_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Keyless point-in-interval join as a bounded EQUI-join.
+
+    A keyless range join has no equi-condition, so Catalyst can only run
+    it as a broadcast-nested-loop (small right side) or a cartesian
+    product — both non-starters when the interval table is large. The
+    classic fix: quantize the domain into bins of ``bin_width``. Each
+    left row lands in exactly ONE bin (floor(point/w)); each interval
+    [lo, hi) explodes into the bins it covers. Joining on the bin key is
+    a plain shuffled/broadcast HASH join; the band predicate remains as a
+    residual filter. Because the left side carries a single bin, every
+    true (left, interval) pair meets exactly once — no dedup needed.
+
+    Cost: the interval side is replicated ceil(span/bin_width) times, so
+    pick ``bin_width`` near the MEDIAN interval span (replication ~2x).
+    At 100 TB both sides shuffle on the bin key (or the binned interval
+    table broadcasts if small) and AQE handles hot bins; skewed giant
+    intervals can additionally be split by salting their bin ranges.
+
+    All three columns must be integral (cast timestamps to epoch units
+    at the call site — keeps the operator domain-agnostic).
+    """
+    w = int(bin_width)
+    if w <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    lbin = (F.col(left_point) - (((F.col(left_point) % w) + w) % w)) / w
+    lo, hi = F.col(right_lo), F.col(right_hi)
+    lo_bin = (lo - (((lo % w) + w) % w)) / w
+    hi1 = hi - 1  # hi is exclusive
+    hi_bin = (hi1 - (((hi1 % w) + w) % w)) / w
+    exploded = right.withColumn(
+        "_bin", F.explode(F.sequence(lo_bin.cast("long"), hi_bin.cast("long")))
+    )
+    tagged = left.withColumn("_bin", lbin.cast("long"))
+    cond = (
+        (tagged["_bin"] == exploded["_bin"])
+        & (F.col(left_point) >= lo)
+        & (F.col(left_point) < hi)
+    )
+    return tagged.join(exploded, cond, how).drop("_bin")

@@ -207,3 +207,58 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(30)
     )
+
+
+@register(
+    "q130_binned_range_join",
+    """
+    WITH wk AS (
+        SELECT DISTINCT date_trunc('week', CAST(ts AS DATE)) AS week_start
+        FROM events
+    ),
+    e AS (SELECT event_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT CAST(week_start AS TIMESTAMP) AS week_start,
+           COUNT(*) AS n_events
+    FROM e JOIN wk
+      ON e.d >= week_start AND e.d < week_start + INTERVAL 7 DAY
+    GROUP BY 1
+    """,
+    doc=(
+        "keyless point-in-interval join via domain binning "
+        "(operators/joins.py::binned_range_join): events matched to the "
+        "calendar-week interval table derived from the event dates "
+        "themselves (every event lands in exactly one week, so the "
+        "result is a full weekly activity profile). A keyless range "
+        "join is otherwise a nested-loop/cartesian plan; quantizing the "
+        "day domain into width-7 bins turns it into a plain HASH join on "
+        "the bin key with the band predicate as a residual — each point "
+        "has one bin, each interval explodes into the bins it covers, so "
+        "every true pair meets exactly once. Plan pinned: no "
+        "BroadcastNestedLoopJoin, no CartesianProduct."
+    ),
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.joins import binned_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    weeks = (
+        ev.select(
+            F.unix_date(
+                F.date_trunc("week", F.col("ts").cast("date")).cast("date")
+            ).alias("ws_day")
+        )
+        .distinct()
+        .select("ws_day", (F.col("ws_day") + 7).alias("we_day"))
+    )
+    pts = ev.select(
+        "event_id", F.unix_date(F.col("ts").cast("date")).alias("d")
+    )
+    joined = binned_range_join(
+        pts, weeks, left_point="d", right_lo="ws_day", right_hi="we_day", bin_width=7
+    )
+    return (
+        joined.groupBy(
+            F.date_from_unix_date("ws_day").cast("timestamp").alias("week_start")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -251,3 +251,11 @@ def test_q128_zorder_key_takeordered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q128_zorder_key")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_q130_binned_range_join_is_hash_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q130_binned_range_join")
+    # the whole point: a keyless interval join that does NOT nested-loop
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
