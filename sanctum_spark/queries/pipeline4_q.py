@@ -16,8 +16,14 @@ data layout.
   word-frequency table, corpus re-tokenized with an Arrow kernel
   (operators/bpe.py).
 
-q126-q128 are exact-deterministic with full SQL oracles; q129 is
-rows-only (iterative merge loop, not SQL-expressible).
+- q130: keyless interval join via domain binning (hash join, never
+  nested-loop — operators/joins.py::binned_range_join).
+- q131: incremental aggregate maintenance (mergeable partials over CDC
+  batches, base raw data never rescanned).
+- q132: ANALYZE-style column profiling (count/nulls/ndv/min/max).
+
+All exact-deterministic with full SQL oracles except q129 (rows-only:
+the iterative merge loop is not SQL-expressible).
 """
 
 from __future__ import annotations
@@ -261,4 +267,110 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_from_unix_date("ws_day").cast("timestamp").alias("week_start")
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "q131_incremental_agg",
+    """
+    SELECT lang,
+           COUNT(*)                 AS n_docs,
+           SUM(n_chars)             AS total_chars,
+           MAX(n_chars)             AS max_chars,
+           ROUND(SUM(n_chars) * 1.0 / COUNT(*) + 1e-9, 4) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    doc=(
+        "incremental aggregate maintenance: the stored per-language "
+        "aggregate of the base corpus (doc_id%3<>0, standing in for "
+        "yesterday's materialized partials) is merged with the partials "
+        "of today's batch (doc_id%3=0) WITHOUT rescanning base raw data — "
+        "only mergeable state (n, sum, max) is stored, avg derives from "
+        "(sum, n) at read time, the same discipline as the q100 "
+        "hypertable partials. Oracle recomputes from the full table and "
+        "must agree exactly. At 100 TB: base partials are a group-grain "
+        "table (KBs), each ingest batch contributes one map-side-combined "
+        "partial pass bounded by the batch."
+    ),
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("s"),
+            F.max("n_chars").alias("mx"),
+        )
+
+    base = partials(docs.filter(F.col("doc_id") % 3 != 0))
+    delta = partials(docs.filter(F.col("doc_id") % 3 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("lang")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"), F.max("mx").alias("mx"))
+    )
+    return merged.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.col("s").alias("total_chars"),
+        F.col("mx").alias("max_chars"),
+        stable_round(F.col("s") * 1.0 / F.col("n"), 4).alias("avg_chars"),
+    )
+
+
+@register(
+    "q132_column_stats",
+    """
+    SELECT 'o_custkey' AS col_name,
+           COUNT(*) AS n, COUNT(*) - COUNT(o_custkey) AS n_null,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           MIN(o_custkey) * 1.0 AS min_num, MAX(o_custkey) * 1.0 AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           MIN(o_totalprice), MAX(o_totalprice), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           NULL, NULL, MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    """,
+    doc=(
+        "ANALYZE-style column profiling (the table-stats pass planners "
+        "and data-validation suites run): per column count / nulls / "
+        "exact distinct / min / max, numeric and string stats in typed "
+        "columns. One scan per profile here via Spark's aggregate expand "
+        "(count-distincts share the pass); at 100 TB swap exact ndv for "
+        "approx_count_distinct partials so the whole profile stays one "
+        "map-side-combined aggregate. Exact SQL oracle."
+    ),
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def prof(col: str, numeric: bool) -> DataFrame:
+        mn = F.min(col).cast("double") if numeric else F.lit(None).cast("double")
+        mx = F.max(col).cast("double") if numeric else F.lit(None).cast("double")
+        mns = F.lit(None).cast("string") if numeric else F.min(col).cast("string")
+        mxs = F.lit(None).cast("string") if numeric else F.max(col).cast("string")
+        return orders.agg(
+            F.lit(col).alias("col_name"),
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            mn.alias("min_num"),
+            mx.alias("max_num"),
+            mns.alias("min_str"),
+            mxs.alias("max_str"),
+        )
+
+    return (
+        prof("o_custkey", True)
+        .unionByName(prof("o_totalprice", True))
+        .unionByName(prof("o_orderstatus", False))
     )
