@@ -21,6 +21,8 @@ data layout.
 - q131: incremental aggregate maintenance (mergeable partials over CDC
   batches, base raw data never rescanned).
 - q132: ANALYZE-style column profiling (count/nulls/ndv/min/max).
+- q133: first-class Python UDTF driven as a SQL lateral join
+  (sanctum_spark/udtfs.py — the N:M spell surface for SQL users).
 
 All exact-deterministic with full SQL oracles except q129 (rows-only:
 the iterative merge loop is not SQL-expressible).
@@ -373,4 +375,38 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
         prof("o_custkey", True)
         .unionByName(prof("o_totalprice", True))
         .unionByName(prof("o_orderstatus", False))
+    )
+
+
+@register(
+    "q133_lateral_udtf",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS arr
+        FROM documents
+        WHERE doc_id % 20 = 0
+    )
+    SELECT doc_id, CAST(i AS INT) AS pos, arr[i] AS token
+    FROM d, LATERAL unnest(generate_series(1, len(arr))) AS t(i)
+    """,
+    doc=(
+        "first-class Python UDTF (Spark 4 pyspark.sql.functions.udtf) "
+        "driven as a SQL lateral join: tokenize_udtf emits (pos, token) "
+        "rows per document — the reference's N:M event transform "
+        "(docunomicon roadmap) exposed to SQL users, complementing the "
+        "Arrow mapInPandas fanout (q84) which remains the throughput "
+        "path. Exact SQL oracle (gap-free 1-based positions both sides)."
+    ),
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    docs.createOrReplaceTempView("_q133_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token "
+        "FROM _q133_docs d, LATERAL tokenize_udtf(d.text) t"
     )

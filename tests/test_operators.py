@@ -822,3 +822,23 @@ def test_bpe_merges_reduce_token_count(spark, sf_dir):
         .select(F.size("bpe_tokens").alias("k")).agg(F.sum("k")).first()[0]
     )
     assert n_bpe < n_char  # merges compress the token stream
+
+
+def test_udtf_lateral_sql_and_decay(spark):
+    from sanctum_spark.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "Hello  big world"), (2, None), (3, "  ")], ["id", "txt"]
+    ).createOrReplaceTempView("_t_udtf")
+    rows = spark.sql(
+        "SELECT id, pos, token FROM _t_udtf, LATERAL tokenize_udtf(txt)"
+    ).collect()
+    got = {(r["id"], r["pos"], r["token"]) for r in rows}
+    # gap-free 1-based positions, lowercased, null/blank rows emit nothing
+    assert got == {(1, 1, "hello"), (1, 2, "big"), (1, 3, "world")}
+    # decrement-counter semantics as a table function (O7 loop shape)
+    out = spark.sql(
+        "SELECT n, emitted FROM decay_emit_udtf(2.5)"
+    ).collect()
+    assert [(r["n"], r["emitted"]) for r in out] == [(1, 2.5), (2, 1.5), (3, 0.5)]
