@@ -6,9 +6,11 @@ Chains the engine's pipeline operators the way a 100 TB curation job
 would: exact dedup → near-dup pair generation (banded MinHash, the scale
 path) → dedup clustering (connected components) → keeper selection →
 benchmark decontamination → quality + repetition gates → deterministic
-per-language stratified sampling. Every step is the same operator the
-oracle-checked queries use (q92/q74/q99/q104/q105/q93), so this script
-is a composition demo, not a separate code path.
+per-language stratified sampling → quality-weighted mix sampling → BPE
+vocabulary training + tokenization → Z-order layout for the final write.
+Every step is the same operator the oracle-checked queries use
+(q92/q74/q99/q104/q105/q93/q126/q129/q128), so this script is a
+composition demo, not a separate code path.
 """
 
 from __future__ import annotations
@@ -89,11 +91,41 @@ def main() -> None:
     )
     n5 = docs.count()
 
+    # 7. quality-weighted mix sampling (content-hash uniform vs weight;
+    # deterministic across engines/runs/cluster layouts)
+    u16 = F.lit(0)
+    for k, pos in enumerate((29, 30, 31, 32)):
+        d = F.expr(f"instr('0123456789abcdef', substring(md5(text), {pos}, 1))") - 1
+        u16 = u16 + d * (16 ** (3 - k))
+    w = F.least(F.lit(1.0), F.length("text") / F.lit(1000.0))
+    docs = docs.filter(u16.cast("long") < w * 65536)
+    n6 = docs.count()
+
+    # 8. BPE: learn merges from the word-frequency table (the only
+    # corpus pass is one word count), tokenize with the Arrow kernel
+    from sanctum_spark.operators.bpe import bpe_apply, bpe_train
+
+    merges = bpe_train(docs, "text", n_merges=60, max_words=20_000)
+    docs = bpe_apply(docs, merges, "text").withColumn(
+        "n_bpe_tokens", F.size("bpe_tokens")
+    )
+
+    # 9. Z-order the final layout so scans prune on (lang, n_bpe_tokens)
+    from sanctum_spark.operators.layout import zorder_by
+
+    final = zorder_by(
+        docs.withColumn("lang_code", F.crc32("lang")), ["lang_code", "n_bpe_tokens"],
+        n_partitions=4,
+    )
+
     print(
         f"corpus: {n0} raw -> {n1} exact-deduped -> {n2} near-dedup-clustered "
-        f"-> {n3} decontaminated -> {n4} quality-gated -> {n5} sampled"
+        f"-> {n3} decontaminated -> {n4} quality-gated -> {n5} sampled "
+        f"-> {n6} mix-weighted; {len(merges)} BPE merges learned"
     )
-    docs.groupBy("lang").count().orderBy("lang").show()
+    final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_bpe_tokens").alias("bpe_tokens")
+    ).orderBy("lang").show()
     spark.stop()
 
 
