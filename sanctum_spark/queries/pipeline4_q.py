@@ -410,3 +410,31 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.pos, t.token "
         "FROM _q133_docs d, LATERAL tokenize_udtf(d.text) t"
     )
+
+
+@register(
+    "q134_key_skew",
+    """
+    WITH pc AS (
+        SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    )
+    SELECT n AS orders_per_customer, COUNT(*) AS n_customers
+    FROM pc
+    GROUP BY n
+    """,
+    doc=(
+        "join-key skew diagnosis: the count-of-counts distribution of "
+        "orders per customer — the table a planner (or an engineer "
+        "deciding between AQE skew-split and operators/joins.py::"
+        "salted_join) reads before a big join. Two group-grain "
+        "aggregates, both map-side combinable; the second runs at "
+        "key-count grain (bytes at any corpus size). Exact SQL oracle."
+    ),
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pc = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        pc.groupBy(F.col("n").alias("orders_per_customer"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
