@@ -438,3 +438,50 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc.groupBy(F.col("n").alias("orders_per_customer"))
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@register(
+    "q135_ewma",
+    """
+    WITH s AS (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           ROUND(list_reduce(vs, (acc, x) -> 0.2 * x + 0.8 * acc) + 1e-9, 6)
+               AS ewma,
+           len(vs) AS n_events
+    FROM s
+    """,
+    doc=(
+        "exponentially weighted moving average per user (alpha=0.2) — a "
+        "RECURSIVE per-row dependency no plain window frame can express. "
+        "Done entirely JVM-side: per-key ordered fold via "
+        "array_sort(collect_list) + aggregate(), one shuffle at user "
+        "grain; the DuckDB oracle is the identical left fold "
+        "(list_reduce), so both engines execute the same IEEE operation "
+        "sequence and values hash-match exactly. Assumes per-key history "
+        "fits an executor (true for session-scale keys); unbounded keys "
+        "use the streaming stateful op instead (streaming/stateful.py)."
+    ),
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vs = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("ts"), F.col("event_id"), F.col("value").cast("double").alias("value"))
+        )
+    )
+    grouped = ev.groupBy("user_id").agg(vs.alias("s"))
+    return grouped.select(
+        "user_id",
+        stable_round(
+            F.expr(
+                "aggregate(slice(transform(s, x -> x.value), 2, "
+                "greatest(size(s) - 1, 0)), transform(s, x -> x.value)[0], "
+                "(acc, x) -> 0.2D * x + 0.8D * acc)"
+            ),
+            6,
+        ).alias("ewma"),
+        F.size("s").cast("long").alias("n_events"),
+    )
