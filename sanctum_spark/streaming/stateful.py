@@ -251,3 +251,45 @@ def counter_spell() -> StatefulSpell:
             ]
         ),
     )
+
+
+def ewma_spell(alpha: float = 0.2, value_col: str = "value") -> StatefulSpell:
+    """Streaming EWMA per key — the unbounded-history form of q135.
+
+    The batch query folds each key's full ordered history with
+    ``aggregate()``; that assumes per-key history fits an executor. Here
+    the recurrence lives in per-key state instead (one double + a count),
+    so history length is unbounded: each micro-batch folds its rows in
+    (ts, event_id) order into the carried value. Identical arithmetic —
+    alpha*x + (1-alpha)*acc per row — so given time-ordered batches the
+    final state equals the batch fold exactly.
+    """
+    a = float(alpha)
+
+    def update(st: dict, pdf: pd.DataFrame) -> dict:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ew, n = st["ewma"], st["n"]
+        for x in pdf[value_col].astype(float):
+            ew = x if n == 0 else a * x + (1.0 - a) * ew
+            n += 1
+        return {"ewma": ew, "n": n}
+
+    return StatefulSpell(
+        name="ewma",
+        init=lambda: {"ewma": None, "n": 0},
+        update=update,
+        emit=lambda key, st: {"user_id": key[0], "ewma": st["ewma"], "n": st["n"]},
+        state_schema=T.StructType(
+            [
+                T.StructField("ewma", T.DoubleType()),
+                T.StructField("n", T.LongType()),
+            ]
+        ),
+        output_schema=T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("ewma", T.DoubleType()),
+                T.StructField("n", T.LongType()),
+            ]
+        ),
+    )

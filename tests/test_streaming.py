@@ -381,3 +381,31 @@ def test_streaming_partial_rollup_append_merges_to_batch(spark, sf_dir, staged):
     for k in daily_batch:
         assert daily_stream[k]["n"] == daily_batch[k]["n"]
         assert abs(daily_stream[k]["sum_value"] - daily_batch[k]["sum_value"]) < 1e-6
+
+
+def test_streaming_ewma_matches_batch_fold(spark, sf_dir, staged, tmp_path):
+    """The stateful streaming EWMA (unbounded-history recurrence in
+    per-key state) converges to exactly the q135 batch fold when batches
+    arrive time-ordered."""
+    from sanctum_spark.queries.pipeline4_q import q135
+
+    stream = SRC.events_file_stream(spark, staged).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = ST.apply_stateful_spell(stream, ST.ewma_spell(), ["user_id"])
+    name = f"ewma_{uuid.uuid4().hex[:8]}"
+    _drain(out, name, mode="update", checkpoint=str(tmp_path / "ckpt_ewma"))
+    emitted = spark.table(name)
+    # update mode: last emission per key carries the final state
+    final = {
+        r["user_id"]: (round(r["ewma"] + 1e-9, 6), r["n"])
+        for r in emitted.groupBy("user_id")
+        .agg(F.max(F.struct("n", "ewma")).alias("s"))
+        .select("user_id", "s.ewma", "s.n")
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["ewma"], r["n_events"])
+        for r in q135(spark, sf_dir).collect()
+    }
+    assert final == want
