@@ -485,3 +485,110 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ewma"),
         F.size("s").cast("long").alias("n_events"),
     )
+
+
+@register(
+    "q136_referential_integrity",
+    """
+    SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders->customer', COUNT(*)
+    FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer->nation', COUNT(*)
+    FROM customer c WHERE NOT EXISTS
+        (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'supplier->nation', COUNT(*)
+    FROM supplier s WHERE NOT EXISTS
+        (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+    """,
+    doc=(
+        "referential-integrity validation across the star schema's FK "
+        "edges in one result: orphan counts per constraint via left-anti "
+        "joins (each ships only the key column; dimension sides "
+        "broadcast). The constraint-check pass of a data-quality suite — "
+        "at 100 TB each check is one semi-shaped pass over the fact "
+        "table's key column, map-side combinable. Exact SQL oracle."
+    ),
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    def orphans(name, child, ckey, parent, pkey):
+        cnt = (
+            child.select(F.col(ckey))
+            .join(parent.select(F.col(pkey).alias(ckey)), ckey, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        return cnt.select(F.lit(name).alias("fk"), "n_orphans")
+
+    return (
+        orphans("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionByName(orphans("orders->customer", orders, "o_custkey", cust, "c_custkey"))
+        .unionByName(orphans("customer->nation", cust, "c_nationkey", nation, "n_nationkey"))
+        .unionByName(orphans("supplier->nation", supp, "s_nationkey", nation, "n_nationkey"))
+    )
+
+
+@register(
+    "q137_time_gaps",
+    """
+    WITH bounds AS (
+        SELECT event_type,
+               date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events GROUP BY event_type
+    ),
+    expected AS (
+        SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    observed AS (
+        SELECT DISTINCT event_type, date_trunc('hour', ts) AS h FROM events
+    )
+    SELECT e.event_type, COUNT(*) AS n_missing_hours
+    FROM expected e
+    WHERE NOT EXISTS (
+        SELECT 1 FROM observed o
+        WHERE o.event_type = e.event_type AND o.h = e.h
+    )
+    GROUP BY e.event_type
+    """,
+    doc=(
+        "completeness / freshness validation: per event type, hours with "
+        "ZERO events inside that type's own [first, last] hour span — the "
+        "gap-detection pass of pipeline monitoring. Expected hours come "
+        "from a sequence() over the per-type bounds (group-grain, tiny), "
+        "observed hours from one distinct; the gap set is an anti-join of "
+        "two hour-grain tables, never raw events. Exact SQL oracle "
+        "(only types with gaps appear)."
+    ),
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    expected = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    observed = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    return (
+        expected.join(observed, ["event_type", "h"], "left_anti")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_missing_hours"))
+    )
