@@ -592,3 +592,102 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_missing_hours"))
     )
+
+
+@register(
+    "q138_wow_growth",
+    """
+    WITH w AS (
+        SELECT event_type,
+               CAST(date_trunc('week', CAST(ts AS DATE)) AS TIMESTAMP) AS wk,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, wk, n,
+           n - lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS delta,
+           ROUND(n * 1.0 / NULLIF(lag(n) OVER (
+               PARTITION BY event_type ORDER BY wk), 0) - 1 + 1e-9, 6)
+               AS growth
+    FROM w
+    """,
+    doc=(
+        "period-over-period analytics: weekly event counts per type with "
+        "week-over-week delta and growth rate — lag windows run on the "
+        "AGGREGATED week grain (group-count rows, not raw events), so the "
+        "window sort is trivially small at any corpus size; the only "
+        "corpus-sized pass is the map-side-combined weekly count. Exact "
+        "SQL oracle (first week's delta/growth are NULL both sides)."
+    ),
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts").cast("date")).alias("wk"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    win = W.partitionBy("event_type").orderBy("wk")
+    prev = F.lag("n").over(win)
+    return weekly.select(
+        "event_type",
+        "wk",
+        "n",
+        (F.col("n") - prev).alias("delta"),
+        stable_round(
+            F.col("n") * 1.0 / F.nullif(prev, F.lit(0)) - 1, 6
+        ).alias("growth"),
+    )
+
+
+@register(
+    "q139_active_users",
+    """
+    WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    a AS (
+        SELECT day,
+               COUNT(*) AS dau,
+               (SELECT COUNT(DISTINCT e.user_id) FROM d e
+                 WHERE e.day > d.day - INTERVAL 7 DAY AND e.day <= d.day) AS wau,
+               (SELECT COUNT(DISTINCT e.user_id) FROM d e
+                 WHERE e.day > d.day - INTERVAL 28 DAY AND e.day <= d.day) AS mau
+        FROM d
+        GROUP BY day
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, dau, wau, mau FROM a
+    """,
+    doc=(
+        "DAU / WAU / MAU: distinct users per day plus trailing 7- and "
+        "28-day distinct counts. Distinct counts do NOT merge across "
+        "windows, so the trailing windows re-expand the (day, user) "
+        "grain: each (day, user) row fans into the ≤7 (resp ≤28) window "
+        "ends it supports — bounded replication of a day-grain table, "
+        "never raw events. At 100 TB the exact path stays day-grain; "
+        "the approximate path is mergeable HLL partials (q98). Exact "
+        "SQL oracle (correlated-subquery formulation on the same grain)."
+    ),
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = du.select("day").distinct().select(F.col("day").alias("end_day"))
+    # fan each (day, user) into the trailing window ends it supports;
+    # day-grain join bounded by the window length, then distinct-count
+    def trailing(n_days: int, name: str) -> DataFrame:
+        j = du.join(
+            days,
+            (F.col("day") > F.col("end_day") - F.expr(f"INTERVAL {n_days} DAYS"))
+            & (F.col("day") <= F.col("end_day")),
+        )
+        return j.groupBy("end_day").agg(
+            F.countDistinct("user_id").alias(name)
+        ).withColumnRenamed("end_day", "day")
+
+    return (
+        dau.join(trailing(7, "wau"), "day")
+        .join(trailing(28, "mau"), "day")
+        .select(F.col("day").cast("timestamp").alias("day"), "dau", "wau", "mau")
+    )
