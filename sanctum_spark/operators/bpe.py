@@ -26,11 +26,20 @@ No external tokenizer libraries: pure Python + Spark built-ins.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 END = "</w>"  # end-of-word marker so merges can't cross word boundaries
+
+# ONE word-segmentation convention for train AND apply.  Spark's split()
+# uses Java regex where \s is ASCII-only; Python's str.split() splits on
+# Unicode whitespace (NBSP etc.), so mixing the two segments text with
+# exotic spaces differently at train vs apply time.  The apply kernel
+# therefore uses the same ASCII-\s+ regex as the Spark side.
+_WS_RE = re.compile(r"\s+", re.ASCII)
 
 
 def _words(col: str | Column) -> Column:
@@ -139,7 +148,9 @@ def bpe_apply(
 
         def enc(text) -> list[str]:
             out: list[str] = []
-            for w in str(text).lower().split():
+            for w in _WS_RE.split(str(text).lower()):
+                if not w:
+                    continue
                 toks = memo.get(w)
                 if toks is None:
                     toks = _encode_word(w, ranks)

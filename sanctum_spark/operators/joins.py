@@ -263,6 +263,14 @@ def binned_range_join(
     w = int(bin_width)
     if w <= 0:
         raise ValueError(f"bin_width must be positive, got {bin_width}")
+    # Empty / inverted intervals (hi <= lo) can match nothing, but without
+    # this guard sequence(lo_bin, hi_bin) runs DESCENDING and still
+    # explodes |span|/bin_width bin rows per bad interval — a silent
+    # blow-up on dirty data.  Dropping them up front keeps the explode
+    # proportional to real coverage (note: they are dropped even under
+    # outer joins — a zero-width interval has no point-in-interval match
+    # by definition).
+    right = right.filter(F.col(right_hi) > F.col(right_lo))
     lbin = (F.col(left_point) - (((F.col(left_point) % w) + w) % w)) / w
     lo, hi = F.col(right_lo), F.col(right_hi)
     lo_bin = (lo - (((lo % w) + w) % w)) / w

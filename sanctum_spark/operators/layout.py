@@ -29,6 +29,14 @@ def zvalue(cols: list[Column], bits: int = 16) -> Column:
     hyper-rectangle in every dimension.
     """
     n = len(cols)
+    if n * bits > 63:
+        # bit i*n+j of the Morton code must stay below the long sign bit;
+        # past 63 the interleave silently wraps negative and the curve
+        # ordering breaks (negative keys sort before all positives).
+        raise ValueError(
+            f"zvalue needs len(cols)*bits <= 63, got {n}*{bits}={n * bits}; "
+            f"reduce bits to {63 // n} or fewer"
+        )
     out = F.lit(0).cast("long")
     for j, c in enumerate(cols):
         v = c.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
@@ -38,31 +46,90 @@ def zvalue(cols: list[Column], bits: int = 16) -> Column:
     return out
 
 
+def _with_bucket_index(
+    df: DataFrame, out_name: str, v: Column, bounds: list[float]
+) -> DataFrame:
+    """Add ``out_name`` = count of ``bounds`` <= v: an unrolled binary
+    search, log2(len) ``F.get``/compare steps, whole-stage codegen-able —
+    no UDF, no per-row linear scan.  Each step is its own projection
+    (chained ``withColumn``) so the step state is an attribute REFERENCE,
+    not an inlined subtree — folding the whole search into one Column
+    duplicates the state ~4x per step and the expression tree goes
+    exponential (observed: driver OOM at plan build for 10 steps).
+    ``bounds`` must be sorted; out-of-range probes return null from
+    ``F.get`` so the search simply doesn't advance.  Null values land in
+    bucket 0.
+    """
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    n = len(bounds)
+    df = df.withColumn(out_name, F.lit(0))
+    step = 1 << (n.bit_length() - 1)  # largest power of two <= n
+    while step >= 1:
+        cand = F.col(out_name) + F.lit(step)
+        # advance iff cand <= n and bounds[cand-1] <= v  (F.get is 0-based)
+        ok = (cand <= F.lit(n)) & (F.get(arr, cand - 1) <= v)
+        df = df.withColumn(out_name, F.when(ok, cand).otherwise(F.col(out_name)))
+        step //= 2
+    return df
+
+
 def zorder_by(
     df: DataFrame,
     cols: list[str],
     bits: int = 16,
     n_partitions: int | None = None,
+    exact_ranks: bool = False,
+    relative_error: float = 1e-4,
 ) -> DataFrame:
     """Cluster ``df`` on the Z-order curve of ``cols``.
 
-    Each column is first rank-normalized into [0, 2^bits) with a global
-    ``percent_rank`` (ranking costs one sort per column at table grain —
-    at production scale substitute approx quantile bounds from table
-    stats, which needs no shuffle at all), then rows are range-
-    partitioned and sorted by the interleaved z-value.  Writing the
-    result gives parquet files whose min/max footprints are tight in
-    every clustered column, so predicates on ANY of them prune files.
-    """
-    from pyspark.sql.window import Window
+    Rank normalization into [0, 2^bits) happens one of two ways:
 
-    scaled = []
+    - **default (scale path)**: one ``approxQuantile`` pass computes
+      2^bits - 1 cut points per column (a bounded driver-side parameter
+      fetch — Greenwald-Khanna sketch, no global sort, no extra
+      shuffle), and each row's bucket is found by an unrolled binary
+      search over the broadcast bounds literal, entirely inside the scan
+      projection.  The only Exchange in the whole plan is the range
+      repartition the layout itself requires.  Columns must be numeric
+      (cast dates to epoch days at the call site).
+    - ``exact_ranks=True`` (test scale only): global ``percent_rank``
+      window — one single-partition sort per column.  Kept for
+      small-data bit-exactness checks; never the production path.
+
+    Writing the result gives parquet files whose min/max footprints are
+    tight in every clustered column, so predicates on ANY of them prune
+    files.
+    """
+    nb = 1 << bits
     tmp = df
-    for i, name in enumerate(cols):
-        r = F.percent_rank().over(Window.orderBy(F.col(name)))
-        tmp = tmp.withColumn(
-            f"_z{i}", F.least(F.floor(r * (1 << bits)), F.lit((1 << bits) - 1))
-        )
+    if exact_ranks:
+        from pyspark.sql.window import Window
+
+        for i, name in enumerate(cols):
+            r = F.percent_rank().over(Window.orderBy(F.col(name)))
+            tmp = tmp.withColumn(
+                f"_z{i}", F.least(F.floor(r * nb), F.lit(nb - 1))
+            )
+    else:
+        # Cap the quantile grid at 2^10 buckets per column: the bounds
+        # become a literal array in the scan projection, and 1024^k curve
+        # cells already dwarf any realistic file count — finer ranks only
+        # grow the expression tree and the GK sketch.  Bucket indexes are
+        # shifted up to the full 2^bits domain so z-values keep the same
+        # scale as the exact path.
+        eff_bits = min(bits, 10)
+        nb_eff = 1 << eff_bits
+        shift = bits - eff_bits
+        # interior cut points at ranks 1/nb_eff .. (nb_eff-1)/nb_eff;
+        # count-of-bounds-<=-v is then a bucket index in [0, nb_eff-1].
+        probs = [k / nb_eff for k in range(1, nb_eff)]
+        all_bounds = df.stat.approxQuantile(list(cols), probs, relative_error)
+        for i, (name, bounds) in enumerate(zip(cols, all_bounds)):
+            tmp = _with_bucket_index(tmp, f"_z{i}", F.col(name), sorted(bounds))
+            tmp = tmp.withColumn(
+                f"_z{i}", F.shiftleft(F.col(f"_z{i}").cast("long"), shift)
+            )
     z = zvalue([F.col(f"_z{i}") for i in range(len(cols))], bits)
     tmp = tmp.withColumn("_zval", z).drop(*[f"_z{i}" for i in range(len(cols))])
     if n_partitions:

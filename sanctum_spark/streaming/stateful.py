@@ -36,12 +36,24 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 @dataclass
 class StatefulSpell:
+    """Per-key stateful fold.
+
+    ``update`` is called once per pandas CHUNK by default — Spark splits a
+    key's micro-batch into multiple arbitrary-order chunks when it exceeds
+    the Arrow batch size, so commutative/associative folds (sums, counts)
+    are safe but order-sensitive recurrences are NOT.  An order-sensitive
+    spell must set ``order_by``: the runner then concatenates the whole
+    per-key batch, sorts it once on those columns, and calls ``update``
+    exactly once per micro-batch.
+    """
+
     name: str
     init: Callable[[], dict]
     update: Callable[[dict, pd.DataFrame], dict]
     emit: Callable[[tuple, dict], dict | None]
     state_schema: T.StructType = field(default_factory=lambda: T.StructType())
     output_schema: T.StructType = field(default_factory=lambda: T.StructType())
+    order_by: list[str] | None = None
 
 
 def typed_state_backend_available() -> tuple[bool, str]:
@@ -86,14 +98,25 @@ def apply_stateful_spell(
     state_fields = [f.name for f in spell.state_schema.fields]
     out_fields = [f.name for f in spell.output_schema.fields]
     init, update, emit = spell.init, spell.update, spell.emit
+    order_by = spell.order_by
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
         if state.exists:
             st = dict(zip(state_fields, state.get))
         else:
             st = init()
-        for pdf in pdf_iter:
-            st = update(st, pdf)
+        if order_by:
+            # Order-sensitive fold: a key's micro-batch may arrive as
+            # several arbitrary-order chunks (arrow maxRecordsPerBatch
+            # splits large groups), so sort the WHOLE batch once and fold
+            # it in a single update call.
+            chunks = list(pdf_iter)
+            if chunks:
+                whole = pd.concat(chunks, ignore_index=True)
+                st = update(st, whole.sort_values(order_by, ignore_index=True))
+        else:
+            for pdf in pdf_iter:
+                st = update(st, pdf)
         state.update(tuple(st[f] for f in state_fields))
         row = emit(key, st)
         if row is not None:
@@ -124,6 +147,7 @@ def _apply_typed_state(
     out_fields = [f.name for f in spell.output_schema.fields]
     init, update, emit = spell.init, spell.update, spell.emit
     state_schema = spell.state_schema
+    order_by = spell.order_by
 
     class _SpellProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -135,8 +159,14 @@ def _apply_typed_state(
                 if self._state.exists()
                 else init()
             )
-            for pdf in rows:
-                st = update(st, pdf)
+            if order_by:
+                chunks = list(rows)
+                if chunks:
+                    whole = pd.concat(chunks, ignore_index=True)
+                    st = update(st, whole.sort_values(order_by, ignore_index=True))
+            else:
+                for pdf in rows:
+                    st = update(st, pdf)
             self._state.update(tuple(st[f] for f in state_fields))
             row = emit(key, st)
             if row is not None:
@@ -262,12 +292,14 @@ def ewma_spell(alpha: float = 0.2, value_col: str = "value") -> StatefulSpell:
     so history length is unbounded: each micro-batch folds its rows in
     (ts, event_id) order into the carried value. Identical arithmetic —
     alpha*x + (1-alpha)*acc per row — so given time-ordered batches the
-    final state equals the batch fold exactly.
+    final state equals the batch fold exactly.  ``order_by`` makes the
+    runner assemble and sort the WHOLE per-key micro-batch before the
+    fold — per-chunk sorting is not enough, since Spark may split a large
+    group into several arbitrary-order chunks.
     """
     a = float(alpha)
 
     def update(st: dict, pdf: pd.DataFrame) -> dict:
-        pdf = pdf.sort_values(["ts", "event_id"])
         ew, n = st["ewma"], st["n"]
         for x in pdf[value_col].astype(float):
             ew = x if n == 0 else a * x + (1.0 - a) * ew
@@ -278,6 +310,7 @@ def ewma_spell(alpha: float = 0.2, value_col: str = "value") -> StatefulSpell:
         name="ewma",
         init=lambda: {"ewma": None, "n": 0},
         update=update,
+        order_by=["ts", "event_id"],
         emit=lambda key, st: {"user_id": key[0], "ewma": st["ewma"], "n": st["n"]},
         state_schema=T.StructType(
             [

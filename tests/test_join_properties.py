@@ -113,3 +113,36 @@ def test_distributed_loop_bound(spark):
     assert out[1]["counter"] == 1000  # 2000 - 1000 decrements
     assert out[2]["n_casts"] == 3
     assert out[2]["counter"] == 1
+
+
+def test_binned_range_join_drops_inverted_intervals(spark):
+    """hi <= lo intervals can match nothing — and must not explode into
+    |span|/bin_width descending-sequence bin rows either (the silent
+    blow-up on dirty interval data)."""
+    pts = spark.createDataFrame([(1, 5), (2, 500)], "pid long, p long")
+    ivs = spark.createDataFrame(
+        [
+            (10, 0, 10),          # valid: contains p=5
+            (11, 10_000, -10_000),  # inverted: 20k-wide descending span
+            (12, 7, 7),           # empty
+        ],
+        "rid long, lo long, hi long",
+    )
+    out = J.binned_range_join(pts, ivs, "p", "lo", "hi", bin_width=10)
+    rows = [(r["pid"], r["rid"]) for r in out.collect()]
+    assert rows == [(1, 10)]
+
+
+def test_zvalue_rejects_sign_bit_overflow(spark):
+    """len(cols)*bits > 63 would push interleaved bits into the long
+    sign bit and silently corrupt curve ordering — must raise."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from sanctum_spark.operators.layout import zvalue
+
+    with _pytest.raises(ValueError, match="63"):
+        zvalue([F.col("a"), F.col("b"), F.col("c"), F.col("d")], bits=16)
+    # 4 cols at 15 bits fits
+    zvalue([F.col("a"), F.col("b"), F.col("c"), F.col("d")], bits=15)

@@ -842,3 +842,25 @@ def test_udtf_lateral_sql_and_decay(spark):
         "SELECT n, emitted FROM decay_emit_udtf(2.5)"
     ).collect()
     assert [(r["n"], r["emitted"]) for r in out] == [(1, 2.5), (2, 1.5), (3, 0.5)]
+
+
+def test_bpe_train_apply_same_word_segmentation(spark):
+    """Train (Spark split, Java ASCII \\s) and apply (Python kernel) must
+    share ONE word-segmentation convention: text with Unicode whitespace
+    (NBSP) segments identically on both paths."""
+    from sanctum_spark.operators import bpe as B
+
+    # NBSP inside "foo bar": ASCII \s+ does NOT split it, so both
+    # paths must treat it as one word.
+    df = spark.createDataFrame(
+        [(1, "foo bar baz"), (2, "foo bar qux")], "doc_id long, text string"
+    )
+    words = {r["word"] for r in B.word_counts(df, "text").collect()}
+    assert "foo bar" in words and "baz" in words
+    merges = B.bpe_train(df, n_merges=10, max_words=100, min_freq=1)
+    out = B.bpe_apply(df, merges).select("bpe_tokens").collect()
+    for r in out:
+        rebuilt = "".join(r["bpe_tokens"]).split(B.END)
+        rebuilt = [w for w in rebuilt if w]
+        for w in rebuilt:
+            assert w in words, (w, words)

@@ -259,3 +259,29 @@ def test_q130_binned_range_join_is_hash_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan
+
+
+def test_zorder_by_no_single_partition_exchange(spark, sf_dir):
+    """zorder_by's default (approx-quantile) path must never plan the
+    global-window shape: no Window operator, no Exchange
+    SinglePartition — the only Exchange is the layout's own range
+    repartition.  The rank normalization is a broadcast bounds literal
+    searched scan-side."""
+    from pyspark.sql import functions as F
+
+    from sanctum_spark.operators.layout import zorder_by
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.datediff("o_orderdate", F.lit("1992-01-01")).alias("d"),
+        )
+    )
+    z = zorder_by(orders, ["o_custkey", "d"], n_partitions=8)
+    plan = z._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1  # the range repartition only
+    assert "rangepartitioning" in plan

@@ -409,3 +409,39 @@ def test_streaming_ewma_matches_batch_fold(spark, sf_dir, staged, tmp_path):
         for r in q135(spark, sf_dir).collect()
     }
     assert final == want
+
+
+def test_stateful_ewma_multi_chunk_ordering(spark, sf_dir, staged, tmp_path):
+    """applyInPandasWithState splits a key's micro-batch into several
+    arbitrary-order pandas chunks once it exceeds
+    arrow.maxRecordsPerBatch.  An order-sensitive spell (order_by set)
+    must still fold the WHOLE batch in (ts, event_id) order — per-chunk
+    sorting is not enough.  Force tiny chunks and require the exact q135
+    batch fold."""
+    from sanctum_spark.queries.pipeline4_q import q135
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")  # every key's batch spans many chunks
+    try:
+        stream = SRC.events_file_stream(spark, staged).select(
+            "user_id", "ts", "event_id", "value"
+        )
+        out = ST.apply_stateful_spell(stream, ST.ewma_spell(), ["user_id"])
+        name = f"ewma_chunks_{uuid.uuid4().hex[:8]}"
+        _drain(out, name, mode="update", checkpoint=str(tmp_path / "ckpt_ewma_mc"))
+        final = {
+            r["user_id"]: (round(r["ewma"] + 1e-9, 6), r["n"])
+            for r in spark.table(name)
+            .groupBy("user_id")
+            .agg(F.max(F.struct("n", "ewma")).alias("s"))
+            .select("user_id", "s.ewma", "s.n")
+            .collect()
+        }
+        want = {
+            r["user_id"]: (r["ewma"], r["n_events"])
+            for r in q135(spark, sf_dir).collect()
+        }
+        assert final == want
+    finally:
+        spark.conf.set(key, old)
