@@ -346,9 +346,19 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             "an imaging library not available here (use fake=True for the "
             "deterministic test decoder)"
         )
-    digest = hashlib.sha256(payload).digest()
-    rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
-    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    # Deterministic fake tensor: per-channel md5 of (payload + channel
+    # tag) tiled into the 8x8 plane.  Chosen over an RNG seed because the
+    # channel MEAN is then exactly mean(md5 digest bytes) — a quantity an
+    # ANSI-SQL oracle can recompute (DuckDB md5 + hex-byte extraction),
+    # so feature-extraction queries over fake-decoded media are fully
+    # hash-checkable, not rows-only.
+    planes = [
+        np.tile(
+            np.frombuffer(hashlib.md5(payload + tag).digest(), dtype=np.uint8), 4
+        ).reshape(8, 8)
+        for tag in (b"R", b"G", b"B")
+    ]
+    return np.stack(planes, axis=-1)
 
 
 def extract_features(
@@ -383,7 +393,13 @@ def extract_features(
                 dtype=np.float32,
             )
         pixels = decode_image(payload, fake=fake_decode)
-        return pixels.astype(np.float32).mean(axis=(0, 1)) / 255.0
+        # mean in float64, THEN narrow to float32 for storage: the
+        # double-rounding path (fl32(fl64(sum/n/255))) is exactly what an
+        # oracle can reproduce with CAST(... AS REAL); float32 accumulation
+        # order would not be.
+        return (pixels.astype(np.float64).mean(axis=(0, 1)) / 255.0).astype(
+            np.float32
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

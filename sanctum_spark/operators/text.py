@@ -92,6 +92,22 @@ def doc_fingerprint(col: str | Column) -> Column:
     )
 
 
+def doc_fingerprint_md5(col: str | Column) -> Column:
+    """Engine-portable rolling fingerprint: chained md5 over the token
+    stream (acc = md5(acc || token)).  Same order-sensitive /
+    whitespace-stable semantics as ``doc_fingerprint`` but expressible in
+    ANSI-ish SQL (DuckDB: list_reduce + md5), so profile queries built on
+    it are fully oracle-checkable.  The xxhash64 variant stays the fast
+    path (no 32-hex-char string per step); use this one where
+    cross-engine verifiability matters more than the last ~ns/token."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    return F.aggregate(
+        toks,
+        F.lit(""),
+        lambda acc, t: F.md5(F.concat(acc, t)),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -209,9 +225,19 @@ def repetition_profile(
     )
 
 
-def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One-pass per-document profile used by corpus-curation pipelines."""
+def text_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable_fingerprint: bool = False,
+) -> DataFrame:
+    """One-pass per-document profile used by corpus-curation pipelines.
+
+    ``portable_fingerprint`` swaps the xxhash64 rolling fingerprint for
+    the chained-md5 one (``doc_fingerprint_md5``) — identical semantics,
+    engine-portable, so the whole profile row can be oracle-verified."""
     c = F.col(text_col)
+    fp = doc_fingerprint_md5(c) if portable_fingerprint else doc_fingerprint(c)
     return df.select(
         F.col(id_col),
         F.length(c).cast("long").alias("n_chars"),
@@ -222,7 +248,7 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
         F.round(punct_ratio(c), 6).alias("punct_ratio"),
         F.round(quality_score(c), 6).alias("quality"),
-        doc_fingerprint(c).alias("fingerprint"),
+        fp.alias("fingerprint"),
     )
 
 

@@ -102,15 +102,63 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q77_text_profile",
-    None,
+    r"""
+    WITH t AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\s+') AS toks,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, text, toks, ltoks,
+               len(list_filter(ltoks, t -> list_contains(
+                   ['the','and','of','to','is','in','that','it'], t))) AS s_en,
+               len(list_filter(ltoks, t -> list_contains(
+                   ['der','die','das','und','ist','nicht','ein','zu'], t))) AS s_de,
+               len(list_filter(ltoks, t -> list_contains(
+                   ['el','la','los','las','es','y','que','un'], t))) AS s_es,
+               len(list_filter(ltoks, t -> list_contains(
+                   ['le','la','les','est','et','que','un','une'], t))) AS s_fr,
+               (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                 / CAST(greatest(length(text), 1) AS DOUBLE) AS praw,
+               length(regexp_replace(text, '\s+', '', 'g'))
+                 / CAST(greatest(len(toks), 1) AS DOUBLE) AS mw
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+           -- argmax(score, lang) with Spark's struct-max tie-break:
+           -- highest score, ties to the lexicographically GREATEST lang
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+                WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                ELSE 'de' END AS lang_pred,
+           ROUND(s_en / CAST(greatest(len(ltoks), 1) AS DOUBLE), 6) AS stopword_ratio,
+           ROUND(praw, 6) AS punct_ratio,
+           ROUND(0.4 * least(length(text) / 500.0, 1.0)
+               + 0.3 * (CASE WHEN mw >= 3.0 AND mw <= 10.0 THEN 1.0 ELSE 0.5 END)
+               + 0.3 * (1.0 - least(praw * 5.0, 1.0)), 6) AS quality,
+           list_reduce(list_prepend('', ltoks), (acc, tk) -> md5(acc || tk))
+               AS fingerprint
+    FROM s
+    """,
     doc=(
-        "full one-pass corpus profile (adds lang-ID + xxhash64 rolling "
-        "fingerprint + BPE-ish token count). Rows-only."
+        "full one-pass corpus profile (adds lang-ID + rolling fingerprint "
+        "+ BPE-ish token count). Fully oracle-paired: the fingerprint is "
+        "the engine-portable chained-md5 rolling hash "
+        "(doc_fingerprint_md5), so every column — including the argmax "
+        "lang-ID and the order-sensitive fingerprint fold — is "
+        "hash-checked against DuckDB."
     ),
 )
 def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return TX.text_profile(docs).orderBy("doc_id")
+    return TX.text_profile(docs, portable_fingerprint=True).orderBy("doc_id")
 
 
 @register(
@@ -137,14 +185,30 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q90_multimodal_features",
-    None,
+    """
+    SELECT doc_id AS media_id,
+           'image' AS modality,
+           CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+           ROUND(CAST(
+               (list_sum(list_transform(range(0, 16),
+                   i -> ('0x' || substr(md5(text || 'R'), 2*i+1, 2))::INT))
+                / 16.0) / 255.0
+           AS REAL)::DOUBLE + 1e-9, 6) AS f0
+    FROM documents
+    """,
     doc=(
         "multimodal plumbing: documents' bytes as opaque binary payloads → "
-        "MEDIA_SCHEMA envelope → mapInPandas feature extraction (fake "
-        "decoder; real Arrow batch shape). Rows-only."
+        "MEDIA_SCHEMA envelope → mapInPandas feature extraction (real "
+        "Arrow batch shape; md5-tile fake decoder). Fully oracle-paired: "
+        "the fake tensor's R-channel mean is exactly mean(md5(payload||"
+        "'R') bytes), double-rounded through float32 the same way on both "
+        "engines, so the whole Python-kernel pipeline is hash-checked "
+        "against DuckDB, not rows-only."
     ),
 )
 def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.queries.util import stable_round
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("blob")
     )
@@ -154,5 +218,5 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "modality",
         "n_bytes",
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        stable_round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
     ).orderBy("media_id")
