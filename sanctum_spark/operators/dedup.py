@@ -505,6 +505,8 @@ def connected_components(
     dst_col: str = "id_b",
     max_iter: int = 25,
     jump: bool = False,
+    checkpoint_table: str | None = None,
+    n_buckets: int = 8,
 ) -> DataFrame:
     """Connected components over a pair list: ``(id, component)`` where
     ``component`` is the minimum node id reachable from ``id``.
@@ -523,8 +525,12 @@ def connected_components(
     Scale design (100 TB): per round, one shuffle of (node, label) pairs
     on the node key — the text never moves. ``localCheckpoint`` after
     each round cuts the lineage so the plan stays O(1) deep instead of
-    growing per iteration (at cluster scale: checkpoint to a bucketed
-    table keyed on node so every round reuses the same partitioning).
+    growing per iteration.  At cluster scale pass ``checkpoint_table``:
+    edges and per-round labels are then written to BUCKETED tables keyed
+    on the join key (``n_buckets`` buckets, labels ping-ponging between
+    two tables), so every round's label join is a zero-Exchange
+    sort-merge join over co-bucketed scans — one clustering paid at
+    write, reused every round (plan pinned in tests/test_plans.py).
     For pathological diameters pass ``jump=True``: each round ALSO
     replaces every label with its label's label (pointer jumping, the
     path-halving move of the large-star/small-star family — Kiveris et
@@ -543,12 +549,29 @@ def connected_components(
     # pair-generation lineage would re-execute per iteration.
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
-    labels = (
+    )
+    if checkpoint_table:
+        from sanctum_spark.operators.ckpt import (
+            PingPongCheckpoint,
+            bucketed_checkpoint,
+        )
+
+        sym = bucketed_checkpoint(
+            sym, f"{checkpoint_table}_edges", "src", n_buckets
+        )
+        _labels_ckpt = PingPongCheckpoint(
+            f"{checkpoint_table}_labels", "id", n_buckets
+        ).write
+    else:
+        sym = sym.localCheckpoint(eager=True)
+
+        def _labels_ckpt(df):
+            return df.localCheckpoint(eager=True)
+
+    labels = _labels_ckpt(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     prev_sum = None  # first round always runs; saves one pre-loop job
     converged = False
@@ -571,7 +594,7 @@ def connected_components(
             # labels are node ids, so the parent lookup is a self-join.
             # Checkpoint first: both join inputs are the same lazy plan,
             # which would otherwise evaluate the propagation twice.
-            propagated = propagated.localCheckpoint(eager=True)
+            propagated = _labels_ckpt(propagated)
             par = propagated.select(
                 F.col("id").alias("pid"), F.col("component").alias("pcomp")
             )
@@ -584,7 +607,7 @@ def connected_components(
                     F.coalesce(F.col("pcomp"), F.col("component")),
                 ).alias("component"),
             )
-        new_labels = propagated.localCheckpoint(eager=True)
+        new_labels = _labels_ckpt(propagated)
         new_sum = new_labels.agg(F.sum("component")).first()[0]
         labels.unpersist()
         labels = new_labels

@@ -27,6 +27,8 @@ def pagerank(
     n_iter: int = 10,
     symmetric: bool = True,
     checkpoint_every: int = 5,
+    checkpoint_table: str | None = None,
+    n_buckets: int = 8,
 ) -> DataFrame:
     """Fixed-iteration (weighted) PageRank over an edge list ->
     ``(node, rank)``.
@@ -54,6 +56,12 @@ def pagerank(
     were measured to serialize one job per round and dominate wall time
     on small graphs, while a modest batch keeps both plan depth and job
     count bounded.
+
+    ``checkpoint_table`` (cluster scale): the edge-share and node tables
+    are written ONCE as bucketed tables keyed on their join keys
+    (``src`` / ``node``), so every round's contribution join reads the
+    big edge side with NO Exchange — only the (node, rank) pairs shuffle
+    per round, which is the minimum any power iteration moves.
     """
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     e = edges.select(
@@ -70,14 +78,24 @@ def pagerank(
     strength = e.groupBy("src").agg(F.sum("w").alias("strength"))
     # Edges pre-joined to their source strength: the per-round join then
     # touches only this one materialized table.
-    e = (
-        e.join(strength, "src")
-        .select("src", "dst", (F.col("w") / F.col("strength")).alias("share"))
-        .localCheckpoint(eager=True)
+    e = e.join(strength, "src").select(
+        "src", "dst", (F.col("w") / F.col("strength")).alias("share")
     )
-    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(
-        eager=True
-    )
+    if checkpoint_table:
+        from sanctum_spark.operators.ckpt import bucketed_checkpoint
+
+        e = bucketed_checkpoint(e, f"{checkpoint_table}_edges", "src", n_buckets)
+        nodes = bucketed_checkpoint(
+            e.select(F.col("src").alias("node")).distinct(),
+            f"{checkpoint_table}_nodes",
+            "node",
+            n_buckets,
+        )
+    else:
+        e = e.localCheckpoint(eager=True)
+        nodes = (
+            e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+        )
     # Node count stays in the plan as a broadcast single-row aggregate —
     # no driver-side collect of data-dependent values.
     n = nodes.agg(F.count(F.lit(1)).alias("n"))

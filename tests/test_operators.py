@@ -864,3 +864,29 @@ def test_bpe_train_apply_same_word_segmentation(spark):
         rebuilt = [w for w in rebuilt if w]
         for w in rebuilt:
             assert w in words, (w, words)
+
+
+def test_pagerank_bucketed_checkpoint_same_ranks(spark):
+    """checkpoint_table changes the physical checkpoint medium, never the
+    ranks: bucketed-table mode must reproduce the in-memory result."""
+    from sanctum_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 2.0), (3, 1, 1.0), (1, 3, 0.5)],
+        "src long, dst long, w double",
+    )
+    base = {
+        r["node"]: round(r["rank"], 10)
+        for r in pagerank(edges, weight_col="w", n_iter=8).collect()
+    }
+    try:
+        ckpt = {
+            r["node"]: round(r["rank"], 10)
+            for r in pagerank(
+                edges, weight_col="w", n_iter=8, checkpoint_table="prpin"
+            ).collect()
+        }
+    finally:
+        for t in ("prpin_edges", "prpin_nodes"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    assert base == ckpt

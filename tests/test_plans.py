@@ -285,3 +285,43 @@ def test_zorder_by_no_single_partition_exchange(spark, sf_dir):
     assert "Window" not in plan
     assert plan.count("Exchange") == 1  # the range repartition only
     assert "rangepartitioning" in plan
+
+
+def test_bucketed_checkpoint_join_no_label_exchange(spark):
+    """connected_components(checkpoint_table=...) persists edges and
+    per-round labels as co-bucketed tables: round >=2's label join must
+    be a sort-merge join over two bucketed scans with NO Exchange on
+    either input — the only Exchange left is the groupBy(dst) above it."""
+    from pyspark.sql import functions as F
+
+    from sanctum_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        cc = connected_components(pairs, checkpoint_table="ccpin", n_buckets=4)
+        got = {r["id"]: r["component"] for r in cc.collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+        # rebuild the per-round join exactly as the operator issues it:
+        # bucketed edges x bucketed labels (cc IS the last labels table)
+        sym = spark.table("ccpin_edges")
+        j = (
+            sym.join(cc, sym.src == cc.id)
+            .groupBy("dst")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange") == 1, plan  # groupBy only; inputs bucketed
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        for t in ("ccpin_edges", "ccpin_labels_a", "ccpin_labels_b", "ccpin_labels_c"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
