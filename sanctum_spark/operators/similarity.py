@@ -602,14 +602,27 @@ def cosine_self_join_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     lsh: RandomHyperplaneLSH | None = None,
+    max_exact_rows: int = 10_000,
 ) -> DataFrame:
     """Per-vector k nearest neighbors within one table.
 
     With ``lsh`` given, pairs are generated per bucket (the 100 TB path);
-    otherwise a full cross pair join (test scale only).
+    otherwise a full cross pair join — TEST SCALE ONLY, so the exact path
+    is gated on ``max_exact_rows``: above that the call raises instead of
+    silently planning an O(n^2) cross join (pass a sized LSH — see
+    ``sized_lsh`` — or raise the gate explicitly if you really mean it).
     """
     from pyspark.sql.window import Window as W
 
+    if lsh is None:
+        n = df.count()
+        if n > max_exact_rows:
+            raise ValueError(
+                f"cosine_self_join_topk without lsh is an O(n^2) cross "
+                f"join; input has {n} rows > max_exact_rows="
+                f"{max_exact_rows}. Pass lsh=sized_lsh(dim, n) for the "
+                "bucketed path, or raise max_exact_rows deliberately."
+            )
     if lsh is not None:
         b = lsh.bucketize(df, vec_col).select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "bucket"

@@ -40,7 +40,13 @@ def get_spark(app_name: str = "sanctum_spark", extra_conf: dict | None = None) -
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 128k-row Arrow batches: the Python-UDF boundary is dominated by
+        # per-batch overhead, and the narrow event/doc rows here are
+        # ~32-200 B, so even 128k rows is a few tens of MB per batch.
+        # Measured on the sustained spell pipeline (sf0.1, 32 cores):
+        # 3.03M ev/s @ 10k rows -> 3.83M ev/s @ 128k (+26%).  Wide-row
+        # jobs should lower this at the call site.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -890,3 +890,20 @@ def test_pagerank_bucketed_checkpoint_same_ranks(spark):
         for t in ("prpin_edges", "prpin_nodes"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
     assert base == ckpt
+
+
+def test_cosine_self_join_exact_gate(spark):
+    """The exact (no-LSH) self-join path must refuse large inputs instead
+    of silently planning an O(n^2) cross join."""
+    import pytest as _pytest
+
+    from sanctum_spark.operators import similarity as S
+
+    df = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        S.cosine_self_join_topk(df, k=3, max_exact_rows=10)
+    out = S.cosine_self_join_topk(df, k=1, max_exact_rows=100)
+    assert out.count() == 50
