@@ -1,11 +1,13 @@
 """Text-analysis operators for training-data pipelines.
 
 All hot paths are JVM built-ins (split/regexp/length/aggregate); nothing
-here drops to Python, so these compose with scans at full codegen speed.
+here drops to Python except ``compression_ratio`` (no SQL zlib exists),
+so these compose with scans at full codegen speed.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -78,6 +80,35 @@ def quality_score(col: str | Column, lang: str = "en") -> Column:
     wlen_part = F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), 1.0).otherwise(0.5)
     punct_part = F.lit(1.0) - F.least(punct_ratio(c) * 5.0, F.lit(1.0))
     return (0.4 * length_part + 0.3 * wlen_part + 0.3 * punct_part).cast("double")
+
+
+def compression_ratio(col: str | Column, level: int = 6) -> Column:
+    """zlib compressed-size / raw-size per text — the classic
+    repetition/boilerplate quality signal (templated text compresses far
+    below natural prose; Gopher-family pipelines threshold on it).
+
+    Arrow-batched scalar pandas UDF over stdlib zlib: deterministic for
+    a given zlib build, embarrassingly parallel, no shuffle.  Python is
+    unavoidable here (no SQL/Catalyst zlib), so this is one of the few
+    sanctioned non-JVM text signals; everything else in this module
+    stays expression-side.
+    """
+    import zlib
+
+    lvl = int(level)
+
+    @F.pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        def one(t) -> float:
+            raw = str(t).encode("utf-8")
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, lvl)) / len(raw)
+
+        return texts.map(one)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _ratio(c)
 
 
 def doc_fingerprint(col: str | Column) -> Column:

@@ -63,6 +63,7 @@ def load_all_modules() -> None:
         pipeline2_q,
         pipeline3_q,
         pipeline4_q,
+        pipeline5_q,
     )
 
 
@@ -122,6 +123,11 @@ VERIFY_FIRST: list[str] = [
     "q119_pq_ann",
     "q121_cross_corpus_neardup",
     "q129_bpe_vocab",
+    # --- 1b. added in round 4 (no prior round could have checked them) ---
+    "q140_session_sequences",
+    "q141_mix_entropy",
+    "q142_cross_source_overlap",
+    "q143_compression_ratio",
     # --- 2. shared operator changed this round ---
     "q88_user_correlation",  # rewritten: per-user top-k bound
     "q71_text_stats",
@@ -136,10 +142,6 @@ VERIFY_FIRST: list[str] = [
     "q03_shipping_priority",
     "q13_range_join",
     "q20_topk_per_group",
-    "q30_rollup",
-    "q40_set_ops",
-    "q50_scalar_functions",
-    "q54_array_functions",
 ]
 
 

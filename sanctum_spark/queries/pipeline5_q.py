@@ -1,0 +1,258 @@
+"""Pipeline queries, batch 5 (round 4): conversation/sequence sample
+construction and corpus-mix diagnostics.
+
+- q140: session-sequence training samples — 30-min-gap sessionization,
+  then each session rendered as its ordered event-type sequence (capped)
+  plus exact-microsecond duration; the events→SFT-style-samples step of
+  a behavioral-data pipeline.
+- q141: source-mix entropy — per-source token share and the Shannon
+  entropy of the mix, the one-row telemetry a data-mix rebalancer
+  monitors.
+- q142: cross-source n-gram overlap — containment of each source's
+  5-gram shingle set in each OTHER source's (corpus-internal
+  contamination matrix; q104 checks against an external benchmark, this
+  checks sources against each other).
+- q143: zlib compression-ratio quality signal (rows-only: no SQL zlib)
+  — the classic repetitive-boilerplate detector (low ratio = highly
+  compressible = templated/repetitious text), Arrow-batched scalar UDF.
+
+q140-q142 carry full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from sanctum_spark.io import load_table
+from sanctum_spark.queries import register
+from sanctum_spark.queries.util import stable_round
+
+SESSION_GAP_NS = 1_800_000_000_000  # 30 min, exact nanos (q62 convention)
+
+
+@register(
+    "q140_session_sequences",
+    """
+    WITH gaps AS (
+        SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type,
+               CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > 1800000000000
+                         OR LAG(epoch_ns(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts_ns, event_id, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts_ns, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(MAX(ts_ns) - MIN(ts_ns) AS BIGINT) AS duration_ns,
+           array_to_string(
+               list_slice(list(event_type ORDER BY ts_ns, event_id), 1, 20),
+               '>') AS seq
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    doc=(
+        "session-sequence sample construction: 30-min-gap sessionization "
+        "(exact-nanosecond gap compare, q62 convention), each session "
+        "rendered as its ordered event-type sequence capped at 20 steps "
+        "plus an exact duration — the step that turns an event log into "
+        "SFT-style behavioral sequences. One shuffle on user_id serves "
+        "the lag, the running sum AND the per-session aggregation (same "
+        "key); the sequence is built JVM-side (sort_array over (ts,id,"
+        "type) structs -> slice -> transform -> array_join), no Python."
+    ),
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    prev_ts = F.lag("ts_ns").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | (F.col("ts_ns") - prev_ts > SESSION_GAP_NS), 1
+    ).otherwise(0)
+    wrun = (
+        W.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(wrun).cast("long")
+    )
+    # Deterministic in-session order without a second window: aggregate
+    # (ts_ns, event_id, event_type) structs, sort_array gives the exact
+    # (ts, id) order, then slice/transform/join — all JVM expressions.
+    steps = F.sort_array(
+        F.collect_list(F.struct("ts_ns", "event_id", "event_type"))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts_ns") - F.min("ts_ns")).cast("long").alias("duration_ns"),
+        F.array_join(
+            F.transform(F.slice(steps, 1, 20), lambda s: s["event_type"]), ">"
+        ).alias("seq"),
+    )
+
+
+@register(
+    "q141_mix_entropy",
+    """
+    WITH tok AS (
+        SELECT source,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ), per_source AS (
+        SELECT source, SUM(n_tokens) AS tokens
+        FROM tok GROUP BY source
+    ), tot AS (SELECT SUM(tokens) AS total FROM per_source)
+    SELECT source,
+           tokens,
+           ROUND(tokens / CAST(total AS DOUBLE) + 1e-9, 6) AS share,
+           ROUND(-SUM(tokens / CAST(total AS DOUBLE)
+                      * ln(tokens / CAST(total AS DOUBLE)))
+                 OVER () + 1e-9, 6) AS mix_entropy
+    FROM per_source, tot
+    """,
+    doc=(
+        "source-mix telemetry: per-source token volume, share of the "
+        "corpus, and the Shannon entropy of the whole mix repeated on "
+        "each row (an unpartitioned window over the SOURCE-grain table — "
+        "group-count rows, never corpus rows, so the single partition "
+        "holds ~#sources rows at any corpus size). The quantity a "
+        "data-mix rebalancer (q127) monitors: entropy falling means the "
+        "mix is drifting toward few sources."
+    ),
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select(
+            "source",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("tokens"))
+    )
+    total = per_source.agg(F.sum("tokens").cast("double").alias("total"))
+    p = F.col("tokens") / F.col("total")
+    went = W.partitionBy()  # source-grain rows only: bounded single partition
+    return per_source.join(F.broadcast(total)).select(
+        "source",
+        "tokens",
+        stable_round(p, 6).alias("share"),
+        stable_round(-F.sum(p * F.log(p)).over(went), 6).alias("mix_entropy"),
+    )
+
+
+@register(
+    "q142_cross_source_overlap",
+    """
+    WITH sh AS (
+        SELECT DISTINCT source, shingle
+        FROM (
+            SELECT source,
+                   array_to_string(list_slice(toks, i, i + 4), ' ') AS shingle
+            FROM (
+                SELECT source,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                FROM documents
+            ), range(1, 200) t(i)
+            WHERE i + 4 <= len(toks)
+        )
+    ), sizes AS (
+        SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           COUNT(*) AS n_shared,
+           ROUND(COUNT(*) / CAST(sa.n_sh AS DOUBLE) + 1e-9, 6) AS containment_a
+    FROM sh a
+    JOIN sh b ON a.shingle = b.shingle AND a.source <> b.source
+    JOIN sizes sa ON sa.source = a.source
+    GROUP BY a.source, b.source, sa.n_sh
+    """,
+    doc=(
+        "corpus-internal contamination matrix: for every ordered source "
+        "pair, how many DISTINCT 5-gram word shingles they share and what "
+        "fraction of the left source's shingle set that is (containment). "
+        "q104 checks docs against an external benchmark; this checks "
+        "sources against each other — the duplicated-boilerplate / "
+        "mirrored-site detector run before mixing corpora. Scale shape: "
+        "everything happens on the DISTINCT (source, shingle) table "
+        "(vocabulary-bounded, far smaller than the corpus); the pair join "
+        "is an equi-join on the shingle hash and the output is "
+        "#sources^2-bounded. Shingles hashed to longs JVM-side; the "
+        "oracle re-derives them as strings, proving hash-grouping loses "
+        "nothing at this scale."
+    ),
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    # 5-gram shingles as STRINGS to match the oracle exactly (the hashed
+    # variant in operators/dedup.shingle_tokens is the production path;
+    # string shingles keep this query's oracle engine-portable). Cap at
+    # the first 200 windows per doc like the oracle's range(1, 200).
+    # sequence(1, n) DESCENDS for n < 1 (see char_ngrams note), so short
+    # docs must yield an empty window list explicitly.
+    n_windows = F.least(F.size(toks) - 4, F.lit(199))
+    windows = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_join(F.slice(toks, i, 5), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select("source", F.explode(windows).alias("shingle")).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.source") != F.col("b.source")),
+    ).groupBy(
+        F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+    ).agg(F.count(F.lit(1)).alias("n_shared"))
+    return pairs.join(
+        F.broadcast(sizes.withColumnRenamed("source", "src_a")), "src_a"
+    ).select(
+        "src_a",
+        "src_b",
+        "n_shared",
+        stable_round(F.col("n_shared") / F.col("n_sh").cast("double"), 6).alias(
+            "containment_a"
+        ),
+    )
+
+
+@register(
+    "q143_compression_ratio",
+    None,
+    doc=(
+        "zlib compression-ratio quality signal (Gopher/RefinedWeb-style "
+        "repetition detector: templated or boilerplate text compresses "
+        "far below natural prose). Arrow-batched scalar pandas UDF over "
+        "stdlib zlib level 6 — deterministic for a given zlib, but not "
+        "SQL-expressible, so rows-only; exact values pinned in "
+        "tests/test_operators.py against direct zlib calls."
+    ),
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.text import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            compression_ratio("text").alias("zlib_ratio"),
+        )
+        .withColumn("zlib_ratio", F.round("zlib_ratio", 6))
+        .orderBy("doc_id")
+    )

@@ -907,3 +907,27 @@ def test_cosine_self_join_exact_gate(spark):
         S.cosine_self_join_topk(df, k=3, max_exact_rows=10)
     out = S.cosine_self_join_topk(df, k=1, max_exact_rows=100)
     assert out.count() == 50
+
+
+def test_compression_ratio_matches_direct_zlib(spark):
+    """The Arrow kernel must reproduce direct zlib level-6 byte math, and
+    repetitive text must score (compress) lower than varied text."""
+    import zlib
+
+    from sanctum_spark.operators.text import compression_ratio
+
+    rows = [
+        (1, "spam " * 200),
+        (2, "the quick brown fox jumps over the lazy dog " * 5),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["ratio"]
+        for r in df.select("doc_id", compression_ratio("text").alias("ratio")).collect()
+    }
+    for doc_id, text in rows:
+        raw = text.encode()
+        want = len(zlib.compress(raw, 6)) / len(raw) if raw else 1.0
+        assert abs(got[doc_id] - want) < 1e-12, doc_id
+    assert got[1] < got[2]  # repetition compresses harder
