@@ -931,3 +931,26 @@ def test_compression_ratio_matches_direct_zlib(spark):
         want = len(zlib.compress(raw, 6)) / len(raw) if raw else 1.0
         assert abs(got[doc_id] - want) < 1e-12, doc_id
     assert got[1] < got[2]  # repetition compresses harder
+
+
+def test_zorder_bucket_index_matches_searchsorted(spark):
+    """The unrolled binary search must equal numpy searchsorted(side=
+    'right') — count of bounds <= v — for random bounds with duplicates,
+    values on/off the boundaries, and out-of-range probes."""
+    import numpy as np
+
+    from sanctum_spark.operators.layout import _with_bucket_index
+
+    rng = np.random.default_rng(7)
+    bounds = sorted(float(x) for x in rng.integers(-50, 50, size=31))
+    vals = [float(v) for v in rng.integers(-60, 60, size=200)] + [
+        bounds[0], bounds[-1], bounds[7], -1e9, 1e9
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    got = {
+        r["i"]: r["b"]
+        for r in _with_bucket_index(df, "b", F.col("v"), bounds).collect()
+    }
+    want = np.searchsorted(bounds, vals, side="right")
+    for i, v in enumerate(vals):
+        assert got[i] == want[i], (v, got[i], int(want[i]))
