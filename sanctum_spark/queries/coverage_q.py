@@ -334,7 +334,20 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
         )
         .agg(
-            stable_round(F.corr(F.col("a.v"), F.col("b.v")), 4).alias("value_corr"),
+            # Pearson corr as try_divide(covar_pop, sx*sy): mathematically
+            # identical to corr() (the 1/n factors cancel) but degenerate
+            # series (n=1 or zero variance) yield NULL instead of an ANSI
+            # DIVIDE_BY_ZERO — which matches DuckDB corr's NULL semantics.
+            # F.corr here is an ANSI landmine: a count()-only action
+            # prunes it (so benches pass), then any plan that actually
+            # evaluates it explodes on the first degenerate pair.
+            stable_round(
+                F.try_divide(
+                    F.covar_pop(F.col("a.v"), F.col("b.v")),
+                    F.stddev_pop(F.col("a.v")) * F.stddev_pop(F.col("b.v")),
+                ),
+                4,
+            ).alias("value_corr"),
             F.count(F.lit(1)).alias("n_hours"),
         )
         .filter(F.col("n_hours") >= 5)
@@ -343,8 +356,15 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-user top-3 window keeps the result O(users*k) regardless of
     # pair density (rank on the ROUNDED corr so both engines see the
     # same order; ties broken by n_hours desc, partner asc — total).
+    # The union references `pairs` twice, so materialize the (bounded,
+    # 4-column) pair table first — without this the expensive pairing
+    # aggregate executes twice (A/B in one JVM at sf0.1: ~3.2-4.4 s
+    # double-eval vs ~0.7-1.6 s materialized; persist and localCheckpoint
+    # measure the same, checkpoint chosen so downstream stages keep AQE
+    # re-planning rights over the cut lineage).
     from sanctum_spark.operators.topk import grouped_topk
 
+    pairs = pairs.localCheckpoint(eager=True)
     sym = pairs.select(
         F.col("user_a").alias("user_id"),
         F.col("user_b").alias("partner_id"),
