@@ -325,3 +325,23 @@ def test_bucketed_checkpoint_join_no_label_exchange(spark):
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
         for t in ("ccpin_edges", "ccpin_labels_a", "ccpin_labels_b", "ccpin_labels_c"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_q140_single_exchange(spark, sf_dir):
+    """Sessionization + sequence build: lag window, session-id running
+    sum and the per-session aggregation all share the user_id hash
+    partitioning — exactly ONE Exchange in the whole plan (HashPartitioning
+    on user_id satisfies the (user_id, session_id) aggregate's clustering)."""
+    plan = plan_of(spark, sf_dir, "q140_session_sequences")
+    assert plan.count("Exchange") == 1, plan
+    assert "SinglePartition" not in plan
+
+
+def test_q142_no_cartesian_and_broadcast_sizes(spark, sf_dir):
+    """Cross-source overlap: the shingle self-join must be a hash join
+    (never nested-loop/cartesian) and the source-size join-back a
+    broadcast."""
+    plan = plan_of(spark, sf_dir, "q142_cross_source_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
