@@ -17,9 +17,18 @@ import time
 
 
 def _sustained_spell_tp(spark, sf_dir: str) -> int | None:
-    """Best-of-3 events/sec for the vectorized route+cast pipeline over a
-    16x-replicated cached events table (amortizes the ~0.2 s job floor that
-    dominates the small per-table measurement)."""
+    """Best-of-5 events/sec for the vectorized route+cast pipeline over a
+    128x-replicated cached events table.
+
+    Why 128x (was 16x through r3): a mapInPandas job on local[32] carries a
+    ~0.45 s fixed floor (task scheduling + Python-worker reuse handshake +
+    Arrow stream setup) regardless of row count.  At 16x (1.6M rows) the
+    floor IS the measurement — best-of runs landed anywhere in 3.3-4.6M
+    ev/s across rounds (the r2->r3 "19% regression" was this noise, see
+    VERDICT r3 item 4; measured floor: rep=16 best 0.476 s vs rep=128 best
+    0.758 s for 8x the rows).  At 128x (12.8M rows, ~400 MB cached) compute
+    dominates and the per-run spread collapses, so the number tracks the
+    actual per-core Arrow+pandas throughput instead of the scheduler."""
     try:
         from pyspark.sql import functions as F, types as T
 
@@ -31,9 +40,10 @@ def _sustained_spell_tp(spark, sf_dir: str) -> int | None:
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value"
         )
+        rep = 128
         big = (
-            ev.crossJoin(F.broadcast(spark.range(16).toDF("rep")))
-            .withColumn("event_id", F.col("event_id") * 16 + F.col("rep"))
+            ev.crossJoin(F.broadcast(spark.range(rep).toDF("rep")))
+            .withColumn("event_id", F.col("event_id") * rep + F.col("rep"))
             .drop("rep")
             .repartition(32)
             .persist()
@@ -54,7 +64,7 @@ def _sustained_spell_tp(spark, sf_dir: str) -> int | None:
         )
         out = apply_spell(big, spell, schema, topic_col="event_type")
         out.count()  # warm
-        best = min(_timed(out.count) for _ in range(3))
+        best = min(_timed(out.count) for _ in range(5))
         big.unpersist()
         return round(n / best)
     except Exception as exc:  # never fail the bench over the extra metric
