@@ -64,6 +64,7 @@ def load_all_modules() -> None:
         pipeline3_q,
         pipeline4_q,
         pipeline5_q,
+        pipeline6_q,
     )
 
 
@@ -128,6 +129,10 @@ VERIFY_FIRST: list[str] = [
     "q141_mix_entropy",
     "q142_cross_source_overlap",
     "q143_compression_ratio",
+    "q144_segment_dedup",
+    "q145_mad_outliers",
+    "q146_embedding_clusters",
+    "q147_heavy_hitters",
     # --- 2. shared operator changed this round ---
     "q88_user_correlation",  # rewritten: per-user top-k bound
     "q71_text_stats",
@@ -137,11 +142,11 @@ VERIFY_FIRST: list[str] = [
     "q67_props_as_map",
     "q68_regexp_extract",
     "q69_date_arithmetic",
-    # --- 3. family anchors (last verified r01) ---
+    # --- 3. family anchors (last verified r01; q13/q20 dropped from the
+    # front when q144-q147 landed — their families have r03 coverage via
+    # q44/q45/q63 and the window suite) ---
     "q01_pricing_summary",
     "q03_shipping_priority",
-    "q13_range_join",
-    "q20_topk_per_group",
 ]
 
 

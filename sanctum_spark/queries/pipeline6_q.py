@@ -1,0 +1,345 @@
+"""Pipeline queries, batch 6 (round 4, late): sub-document dedup, robust
+outlier validation, embedding-cluster profiling, and two-pass heavy hitters.
+
+- q144: segment-level exact dedup (the CCNet line-dedup shape on a corpus
+  whose documents carry no newlines: fixed 10-token segments stand in for
+  lines) — per-document duplication profile after global first-occurrence
+  segment dedup.
+- q145: robust outlier detection — per-event-type median/MAD and the
+  3-sigma-equivalent robust z-score flag count (the data-validation pass
+  that survives heavy tails where mean/stddev rules drown).
+- q146: embedding cluster profile — per-label centroid built at
+  (label, dim) grain, cosine of every member to its centroid, the
+  centroid-nearest representative (SemDeDup-style diversity selection),
+  and dispersion stats.
+- q147: two-pass heavy hitters — candidate tokens from a deterministic
+  25% document sample, exact counts ONLY for candidates via a broadcast
+  semi-join, final exact threshold filter.  The pattern that avoids
+  shuffling a 100 TB corpus's full long-tail vocabulary.
+
+All four carry full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from sanctum_spark.io import load_table
+from sanctum_spark.queries import register
+from sanctum_spark.queries.util import stable_round
+
+SEG_TOKENS = 10  # segment width for q144 (stands in for CCNet's "line")
+
+
+@register(
+    "q144_segment_dedup",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), seg AS (
+        SELECT doc_id,
+               i AS seg_idx,
+               array_to_string(
+                   list_slice(t, i * {SEG_TOKENS} + 1, (i + 1) * {SEG_TOKENS}),
+                   ' ') AS segment
+        FROM toks, range(0, 200) r(i)
+        WHERE i * {SEG_TOKENS} < len(t)
+    ), ranked AS (
+        SELECT doc_id, seg_idx,
+               ROW_NUMBER() OVER (
+                   PARTITION BY segment ORDER BY doc_id, seg_idx
+               ) AS rn
+        FROM seg
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_segments,
+           ROUND(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE) + 1e-9, 6) AS dup_ratio
+    FROM ranked
+    GROUP BY doc_id
+    """,
+    doc=(
+        "sub-document exact dedup profile (CCNet's line-level dedup with "
+        "fixed 10-token segments standing in for lines — this corpus has "
+        "no newlines): every segment instance beyond the global first "
+        "occurrence (ordered by doc_id, seg_idx) counts as removed; each "
+        "doc reports how much of it was boilerplate already seen "
+        "elsewhere. Scale shape: two shuffles at segment grain then doc "
+        "grain — the first ships only (doc_id, seg_idx, segment) and at "
+        "100 TB the segment string is replaced by a 128-bit digest "
+        "(md5 halves) so the shuffle payload is ~24 bytes/segment; the "
+        "window never materializes per-key groups beyond a rank counter. "
+        "No driver-side state."
+    ),
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    n_seg = F.ceil(F.size(toks) / F.lit(SEG_TOKENS)).cast("int")
+    segments = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * SEG_TOKENS + 1, SEG_TOKENS), " "
+        ),
+    )
+    seg = docs.select(
+        "doc_id", F.posexplode(segments).alias("seg_idx", "segment")
+    )
+    # Global first occurrence: rank instances of each distinct segment by
+    # (doc_id, seg_idx); rn>1 == removed by dedup.  The window key is the
+    # segment text at test scale; the production path keys on a 128-bit
+    # digest of it (collision-safe at corpus scale, ~24-byte shuffle rows).
+    rn = F.row_number().over(
+        W.partitionBy("segment").orderBy("doc_id", "seg_idx")
+    )
+    ranked = seg.select("doc_id", rn.alias("rn"))
+    dup = F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        dup.cast("long").alias("n_dup_segments"),
+        stable_round(dup / F.count(F.lit(1)).cast("double"), 6).alias(
+            "dup_ratio"
+        ),
+    )
+
+
+@register(
+    "q145_mad_outliers",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_type, e.value, m.med
+        FROM events e JOIN med m USING (event_type)
+    ), madt AS (
+        SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           ROUND(ANY_VALUE(d.med) + 1e-9, 4) AS med,
+           ROUND(ANY_VALUE(t.mad) + 1e-9, 4) AS mad,
+           CAST(SUM(CASE WHEN abs(d.value - d.med) > 3 * 1.4826 * t.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN madt t USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc=(
+        "robust outlier validation: per-event-type median and MAD (median "
+        "absolute deviation), then the count of values whose robust "
+        "z-score |v-med|/(1.4826*MAD) exceeds 3 — the heavy-tail-safe "
+        "version of the 3-sigma rule (one pathological value moves a "
+        "mean/stddev gate, not this one). Scale shape: two exact-"
+        "percentile aggregations at event-type grain with the (tiny) "
+        "per-type medians broadcast back between passes; the events "
+        "table is scanned twice but never re-shuffled wider than "
+        "(event_type, value). Exact percentiles match DuckDB's "
+        "quantile_cont interpolation; at 100 TB the drop-in is "
+        "approx_percentile with the same downstream algebra (q87 is the "
+        "sketch-accuracy harness for that swap)."
+    ),
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+            "mad"
+        )
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    is_out = F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        stable_round(F.first("med"), 4).alias("med"),
+        stable_round(F.first("mad"), 4).alias("mad"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+    )
+
+
+@register(
+    "q146_embedding_clusters",
+    """
+    WITH e AS (
+        SELECT vec_id, label,
+               CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ), cent AS (
+        SELECT label, pos, AVG(x) AS c FROM e GROUP BY label, pos
+    ), per_vec AS (
+        SELECT e.vec_id, e.label,
+               SUM(e.x * cent.c) AS dot,
+               sqrt(SUM(e.x * e.x)) AS nx,
+               sqrt(SUM(cent.c * cent.c)) AS nc
+        FROM e JOIN cent USING (label, pos)
+        GROUP BY e.vec_id, e.label
+    ), scored AS (
+        SELECT vec_id, label,
+               ROUND(dot / (nx * nc) + 1e-9, 6) AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY label
+                   ORDER BY ROUND(dot / (nx * nc) + 1e-9, 6) DESC, vec_id
+               ) AS rn
+        FROM per_vec
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(MAX(CASE WHEN rn = 1 THEN vec_id END) AS BIGINT)
+               AS rep_vec_id,
+           ROUND(MAX(CASE WHEN rn = 1 THEN cos END) + 1e-9, 4) AS rep_cos,
+           ROUND(AVG(cos) + 1e-9, 4) AS mean_cos,
+           ROUND(MIN(cos) + 1e-9, 4) AS min_cos
+    FROM scored
+    GROUP BY label
+    """,
+    doc=(
+        "embedding cluster profile + SemDeDup-style representative "
+        "selection: per-label centroid computed at (label, dim) grain "
+        "(never a whole-vector reduce — each dimension is an independent "
+        "mean, so the centroid build is one shuffle of (label, pos, x) "
+        "triples with map-side combine), every member's cosine to its "
+        "centroid via a broadcast join of the labels*dim centroid table, "
+        "the member closest to the centroid as the cluster "
+        "representative (rank on ROUNDED cosine then vec_id so both "
+        "engines agree on ties), and mean/min cosine as dispersion. "
+        "The curation read: low mean_cos = incoherent label; rep_vec_id "
+        "= the diversity-sample pick. At 100 TB labels come from IVF "
+        "assignment (q94) and this query is the per-cluster audit."
+    ),
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "xf")
+    ).withColumn("x", F.col("xf").cast("double")).drop("xf")
+    cent = e.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    per_vec = (
+        e.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nx"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"),
+        )
+    )
+    cos = stable_round(
+        F.col("dot") / (F.col("nx") * F.col("nc")), 6
+    )
+    scored = per_vec.select(
+        "vec_id", "label", cos.alias("cos")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("label").orderBy(F.desc("cos"), F.asc("vec_id"))
+        ),
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.max(F.when(F.col("rn") == 1, F.col("vec_id")))
+        .cast("long")
+        .alias("rep_vec_id"),
+        stable_round(F.max(F.when(F.col("rn") == 1, F.col("cos"))), 4).alias(
+            "rep_cos"
+        ),
+        stable_round(F.avg("cos"), 4).alias("mean_cos"),
+        stable_round(F.min("cos"), 4).alias("min_cos"),
+    )
+
+
+# q147 sampling: docs whose text-hash u16 falls in the low quarter of the
+# space — the same cross-engine md5 "RNG" as q126/q127 (pipeline4_q).
+_HEX = "0123456789abcdef"
+
+
+def _u16_spark(col: str = "text") -> F.Column:
+    u = F.lit(0)
+    for k, pos in enumerate((29, 30, 31, 32)):
+        d = F.expr(f"instr('{_HEX}', substring(md5({col}), {pos}, 1))") - 1
+        u = u + d * (16 ** (3 - k))
+    return u.cast("long")
+
+
+def _u16_sql(col: str = "text") -> str:
+    terms = [
+        f"(strpos('{_HEX}', substr(md5({col}), {pos}, 1)) - 1) * {16 ** (3 - k)}"
+        for k, pos in enumerate((29, 30, 31, 32))
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "q147_heavy_hitters",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, text,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    ), tot AS (
+        SELECT COUNT(*) AS n_total FROM tok
+    ), cand AS (
+        SELECT token
+        FROM tok, tot
+        WHERE {_u16_sql()} < 16384
+        GROUP BY token, n_total
+        HAVING COUNT(*) >=
+               CAST(floor(floor(n_total / 100.0) * 0.125) AS BIGINT)
+    )
+    SELECT t.token, COUNT(*) AS cnt
+    FROM tok t JOIN cand USING (token), tot
+    GROUP BY t.token, tot.n_total
+    HAVING COUNT(*) >= CAST(floor(n_total / 100.0) AS BIGINT)
+    """,
+    doc=(
+        "two-pass heavy hitters (tokens covering >=1% of the corpus): "
+        "pass 1 counts tokens only inside a deterministic 25% document "
+        "sample (md5-u16 < 16384, the q126 cross-engine RNG) and keeps "
+        "those above half the scaled threshold; pass 2 exact-counts ONLY "
+        "those candidates — the candidate set is broadcast and the "
+        "long-tail vocabulary (hapax-dominated at corpus scale) is "
+        "filtered at the scan, so the wide shuffle ships heavy tokens "
+        "only, never the full vocabulary. The safety factor 0.5 absorbs "
+        "sampling variance (Chernoff: a true 1%-heavy token falling "
+        "below 0.125% in a 25% sample needs ~5-sigma deviation at any "
+        "realistic count); the final filter re-checks the EXACT "
+        "threshold, so false candidates cost only wasted counting, "
+        "never wrong output."
+    ),
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        _u16_spark().alias("u"),
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    )
+    tok = tok.persist()
+    n_total = tok.count()
+    threshold = int(n_total / 100.0)
+    sample_threshold = int(threshold * 0.25 * 0.5)
+    cand = (
+        tok.filter(F.col("u") < 16384)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= sample_threshold)
+        .select("token")
+    )
+    out = (
+        tok.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+    )
+    out = out.localCheckpoint(eager=True)  # release the persisted token table
+    tok.unpersist()
+    return out

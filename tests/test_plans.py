@@ -345,3 +345,66 @@ def test_q142_no_cartesian_and_broadcast_sizes(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q144_two_exchanges_no_joins(spark, sf_dir):
+    """Segment dedup: explode -> window at segment grain -> doc-grain
+    aggregate is exactly two Exchanges (segment hash, then doc_id hash),
+    with no join anywhere — first-occurrence detection is a rank, not a
+    join-back."""
+    plan = plan_of(spark, sf_dir, "q144_segment_dedup")
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_q145_medians_broadcast_back(spark, sf_dir):
+    """MAD outliers: both percentile tables (per-type median, then MAD)
+    join back to the events scan as broadcasts — the fact table is never
+    shuffled for a join."""
+    plan = plan_of(spark, sf_dir, "q145_mad_outliers")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q146_centroids_broadcast(spark, sf_dir):
+    """Embedding cluster profile: the (label, dim) centroid table joins
+    the exploded member table as a broadcast hash join (labels*dim rows,
+    tiny at any corpus size); no sort-merge join, no cartesian."""
+    plan = plan_of(spark, sf_dir, "q146_embedding_clusters")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q147_candidates_broadcast_semi(spark, sf_dir):
+    """Two-pass heavy hitters: the candidate filter on the exact-count
+    pass must be a broadcast LEFT-SEMI hash join at the scan side —
+    the long-tail vocabulary never reaches the wide shuffle.  Pinned on
+    the pre-checkpoint plan (the registered query checkpoints its small
+    result, which truncates the visible lineage)."""
+    import pyspark.sql.functions as F
+
+    from sanctum_spark.io import load_table
+    from sanctum_spark.queries.pipeline6_q import _u16_spark
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        _u16_spark().alias("u"),
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    )
+    cand = (
+        tok.filter(F.col("u") < 16384)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 1)
+        .select("token")
+    )
+    out = (
+        tok.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan
