@@ -343,3 +343,110 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)  # release the persisted token table
     tok.unpersist()
     return out
+
+
+@register(
+    "q148_trailing_range_frame",
+    """
+    WITH daily AS (
+        SELECT user_id,
+               CAST(ts AS DATE) AS day,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS day_no,
+               ROUND(SUM(value) + 1e-9, 2) AS v
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT user_id, CAST(day AS TIMESTAMP) AS day, v,
+           CAST(COUNT(*) OVER w AS BIGINT) AS t7_days,
+           ROUND(SUM(v) OVER w + 1e-9, 2) AS t7_sum,
+           ROUND(AVG(v) OVER w + 1e-9, 4) AS t7_avg
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day_no
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    doc=(
+        "RANGE-interval window frames (the one frame kind rows-frames "
+        "can't express): per-user daily value totals with a TRAILING "
+        "7-CALENDAR-DAY sum/avg — the frame is bounded by day distance, "
+        "not row count, so gaps in activity shrink the window exactly as "
+        "the calendar does. Scale shape: the range frame runs on the "
+        "AGGREGATED user x day grain (never raw events) — two exchanges, "
+        "both daily-grain (map-side-combined rollup, then a re-key to "
+        "user_id for the frame; the single-exchange alternative would "
+        "ship raw events and lose the combine). Per-day values rounded "
+        "BEFORE the frame so both engines fold identical inputs."
+    ),
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    daily = ev.groupBy(
+        "user_id",
+        day.alias("day"),
+        F.datediff(day, F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_no"),
+    ).agg(stable_round(F.sum("value"), 2).alias("v"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day_no")
+        .rangeBetween(-6, W.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        F.col("day").cast("timestamp").alias("day"),
+        "v",
+        F.count(F.lit(1)).over(w).cast("long").alias("t7_days"),
+        stable_round(F.sum("v").over(w), 2).alias("t7_sum"),
+        stable_round(F.avg("v").over(w), 4).alias("t7_avg"),
+    )
+
+
+@register(
+    "q149_scd2_intervals",
+    """
+    WITH o AS (
+        SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+               ) AS prev
+        FROM events
+    ), ch AS (
+        SELECT user_id, ts_ns, event_id, event_type
+        FROM o WHERE prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id,
+           event_type AS state,
+           ts_ns AS valid_from_ns,
+           lead(ts_ns) OVER (
+               PARTITION BY user_id ORDER BY ts_ns, event_id
+           ) AS valid_to_ns
+    FROM ch
+    """,
+    doc=(
+        "SCD2 dimension build from a changelog: each user's event stream "
+        "is collapsed to state-CHANGE rows (consecutive repeats of the "
+        "same event_type merge, null-safe compare), then every change "
+        "opens a [valid_from, valid_to) interval closed by the next "
+        "change's exact-nanosecond timestamp — the open (current) state "
+        "carries NULL valid_to. The kimball-style type-2 history table "
+        "that q63's as-of join then probes. Scale shape: two stacked "
+        "windows on the SAME user_id partitioning = one Exchange total "
+        "(plan-pinned); the second window runs on the collapsed "
+        "change-grain rows only."
+    ),
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    prev = F.lag("event_type").over(wo)
+    ch = ev.select("user_id", "ts_ns", "event_id", "event_type").withColumn(
+        "prev", prev
+    ).filter(~F.col("prev").eqNullSafe(F.col("event_type")))
+    wc = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return ch.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts_ns").alias("valid_from_ns"),
+        F.lead("ts_ns").over(wc).alias("valid_to_ns"),
+    )

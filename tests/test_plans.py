@@ -408,3 +408,29 @@ def test_q147_candidates_broadcast_semi(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q148_range_frame_daily_grain_exchanges(spark, sf_dir):
+    """Trailing range frame: exactly two Exchanges and BOTH at daily
+    grain — the first ships map-side-combined partial sums (partial_sum
+    precedes it in the plan), the second re-keys the finished daily rows
+    to user_id for the window.  (A single-Exchange variant exists —
+    repartition(user_id) before the rollup — but it ships RAW events;
+    two daily-grain exchanges are strictly cheaper at scale.)"""
+    plan = plan_of(spark, sf_dir, "q148_trailing_range_frame")
+    assert plan.count("Exchange") == 2, plan
+    assert "SinglePartition" not in plan
+    # map-side combine runs before the first exchange
+    assert plan.index("partial_sum") > plan.index("Exchange"), (
+        "partial aggregation must be upstream (later in toString) of "
+        "the first Exchange"
+    )
+
+
+def test_q149_stacked_windows_one_exchange(spark, sf_dir):
+    """SCD2 intervals: the change-detection lag window and the interval-
+    closing lead window both run on the user_id partitioning — one
+    Exchange total."""
+    plan = plan_of(spark, sf_dir, "q149_scd2_intervals")
+    assert plan.count("Exchange") == 1, plan
+    assert "SinglePartition" not in plan
