@@ -195,10 +195,12 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower("text")), r"\s+")
-    # 5-gram shingles as STRINGS to match the oracle exactly (the hashed
-    # variant in operators/dedup.shingle_tokens is the production path;
-    # string shingles keep this query's oracle engine-portable). Cap at
-    # the first 200 windows per doc like the oracle's range(1, 200).
+    # 5-gram shingles hashed to LONGS at the scan (xxhash64 of the joined
+    # window): the distinct / source-set shuffles ship 8-byte keys instead
+    # of ~40-byte strings.  The oracle re-derives the same containment
+    # counts from the raw STRINGS, so the hash-grouped result matching it
+    # is direct evidence 64-bit hashing loses nothing at this scale.  Cap
+    # at the first 200 windows per doc like the oracle's range(1, 200).
     # sequence(1, n) DESCENDS for n < 1 (see char_ngrams note), so short
     # docs must yield an empty window list explicitly.
     n_windows = F.least(F.size(toks) - 4, F.lit(199))
@@ -206,9 +208,9 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks) >= 5,
         F.transform(
             F.sequence(F.lit(1), n_windows),
-            lambda i: F.array_join(F.slice(toks, i, 5), " "),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, 5), " ")),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     sh = docs.select("source", F.explode(windows).alias("shingle")).distinct()
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
     # Pair generation WITHOUT a self-join: group each shingle's source
