@@ -47,6 +47,19 @@ def main() -> None:
     docs = drop_exact_duplicates(docs, "text", "doc_id")
     n1 = docs.count()
 
+    # 1b. sub-document boilerplate gate: drop docs more than half made of
+    # segments already seen elsewhere (CCNet line-dedup shape; hashed
+    # 8-byte window keys — the 100 TB path)
+    from sanctum_spark.operators.dedup import segment_dedup_profile
+
+    boiler = (
+        segment_dedup_profile(docs, "text", "doc_id", hashed=True)
+        .filter(F.col("dup_ratio") > 0.5)
+        .select("doc_id")
+    )
+    docs = docs.join(boiler, "doc_id", "left_anti")
+    n1b = docs.count()
+
     # 2. near-dup pairs via banded MinHash (the 100 TB path), then
     # 3. collapse pairs into clusters and keep each cluster's min doc_id
     pairs = minhash_near_duplicates(
@@ -119,7 +132,8 @@ def main() -> None:
     )
 
     print(
-        f"corpus: {n0} raw -> {n1} exact-deduped -> {n2} near-dedup-clustered "
+        f"corpus: {n0} raw -> {n1} exact-deduped -> {n1b} boilerplate-gated "
+        f"-> {n2} near-dedup-clustered "
         f"-> {n3} decontaminated -> {n4} quality-gated -> {n5} sampled "
         f"-> {n6} mix-weighted; {len(merges)} BPE merges learned"
     )

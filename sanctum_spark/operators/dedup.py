@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -624,3 +625,49 @@ def connected_components(
             "use a log-round algorithm for long-chain graphs"
         )
     return labels
+
+
+def segment_dedup_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 10,
+    hashed: bool = False,
+) -> DataFrame:
+    """Sub-document exact-dedup profile (CCNet's line-level dedup shape,
+    with fixed ``seg_tokens``-token segments standing in for lines on
+    corpora without newline structure).
+
+    Every segment instance beyond the global first occurrence (ordered by
+    (id, seg_idx)) counts as duplicated; each document reports how much of
+    it is boilerplate already seen elsewhere: ``(id_col, n_segments,
+    n_dup_segments, dup_ratio)``.
+
+    Scale shape: two shuffles — segment grain (rank), then doc grain
+    (counters); first-occurrence detection is a rank, never a join-back.
+    ``hashed=True`` keys the rank window on ``xxhash64`` of the segment
+    (8-byte shuffle rows — the 100 TB path; at extreme corpus sizes use a
+    128-bit digest); ``hashed=False`` keeps the string key so an SQL
+    oracle can replay the result exactly (q144).
+    """
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    n_seg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    seg_expr = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(toks, i * seg_tokens + 1, seg_tokens), " "),
+    )
+    if hashed:
+        seg_expr = F.transform(seg_expr, lambda s: F.xxhash64(s))
+    seg = docs.select(id_col, F.posexplode(seg_expr).alias("seg_idx", "segment"))
+    rn = F.row_number().over(
+        Window.partitionBy("segment").orderBy(id_col, "seg_idx")
+    )
+    ranked = seg.select(id_col, rn.alias("rn"))
+    dup = F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        dup.cast("long").alias("n_dup_segments"),
+        F.round(
+            dup / F.count(F.lit(1)).cast("double") + F.lit(1e-9), 6
+        ).alias("dup_ratio"),
+    )

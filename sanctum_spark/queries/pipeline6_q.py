@@ -79,33 +79,14 @@ SEG_TOKENS = 10  # segment width for q144 (stands in for CCNet's "line")
     ),
 )
 def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.dedup import segment_dedup_profile
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower("text")), r"\s+")
-    n_seg = F.ceil(F.size(toks) / F.lit(SEG_TOKENS)).cast("int")
-    segments = F.transform(
-        F.sequence(F.lit(0), n_seg - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * SEG_TOKENS + 1, SEG_TOKENS), " "
-        ),
-    )
-    seg = docs.select(
-        "doc_id", F.posexplode(segments).alias("seg_idx", "segment")
-    )
-    # Global first occurrence: rank instances of each distinct segment by
-    # (doc_id, seg_idx); rn>1 == removed by dedup.  The window key is the
-    # segment text at test scale; the production path keys on a 128-bit
-    # digest of it (collision-safe at corpus scale, ~24-byte shuffle rows).
-    rn = F.row_number().over(
-        W.partitionBy("segment").orderBy("doc_id", "seg_idx")
-    )
-    ranked = seg.select("doc_id", rn.alias("rn"))
-    dup = F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
-    return ranked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_segments"),
-        dup.cast("long").alias("n_dup_segments"),
-        stable_round(dup / F.count(F.lit(1)).cast("double"), 6).alias(
-            "dup_ratio"
-        ),
+    # hashed=False keeps the string window key so the oracle replays the
+    # result exactly; the 100 TB path is hashed=True (8-byte shuffle
+    # rows), covered by a hashed-vs-string equivalence test.
+    return segment_dedup_profile(
+        docs, "text", "doc_id", seg_tokens=SEG_TOKENS, hashed=False
     )
 
 

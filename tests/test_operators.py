@@ -954,3 +954,18 @@ def test_zorder_bucket_index_matches_searchsorted(spark):
     want = np.searchsorted(bounds, vals, side="right")
     for i, v in enumerate(vals):
         assert got[i] == want[i], (v, got[i], int(want[i]))
+
+
+def test_segment_dedup_hashed_matches_string_keys(spark, sf_dir):
+    """The 100 TB path (xxhash64 segment window keys) must produce the
+    exact profile the string-keyed path does — 64-bit hashing may only
+    change shuffle payload, never the result."""
+    from sanctum_spark.io import load_table
+    from sanctum_spark.operators.dedup import segment_dedup_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = segment_dedup_profile(docs, "text", "doc_id", hashed=False)
+    b = segment_dedup_profile(docs, "text", "doc_id", hashed=True)
+    rows_a = sorted(tuple(r) for r in a.collect())
+    rows_b = sorted(tuple(r) for r in b.collect())
+    assert rows_a == rows_b
