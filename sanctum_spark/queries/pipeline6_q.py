@@ -431,3 +431,157 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_ns").alias("valid_from_ns"),
         F.lead("ts_ns").over(wc).alias("valid_to_ns"),
     )
+
+
+@register(
+    "q150_psi_drift",
+    """
+    WITH stats AS (
+        SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+    ), binned AS (
+        SELECT CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                    THEN 'a' ELSE 'b' END AS period,
+               CAST(least(9, floor((value - mn) / ((mx - mn) / 10.0)))
+                    AS BIGINT) AS bin
+        FROM events, stats
+    ), grid AS (
+        SELECT p.period, r.i AS bin
+        FROM (SELECT 'a' AS period UNION ALL SELECT 'b') p,
+             range(0, 10) r(i)
+    ), cnts AS (
+        SELECT g.period, g.bin,
+               COALESCE(c.n, 0) AS n
+        FROM grid g
+        LEFT JOIN (SELECT period, bin, COUNT(*) AS n
+                   FROM binned GROUP BY 1, 2) c
+          ON g.period = c.period AND g.bin = c.bin
+    ), tot AS (
+        SELECT period, SUM(n) AS nt FROM cnts GROUP BY period
+    ), shares AS (
+        SELECT c.bin,
+               MAX(CASE WHEN c.period = 'a'
+                        THEN (c.n + 1.0) / (t.nt + 10.0) END) AS pa,
+               MAX(CASE WHEN c.period = 'b'
+                        THEN (c.n + 1.0) / (t.nt + 10.0) END) AS pb
+        FROM cnts c JOIN tot t USING (period)
+        GROUP BY c.bin
+    )
+    SELECT bin,
+           ROUND(pa + 1e-9, 6) AS share_a,
+           ROUND(pb + 1e-9, 6) AS share_b,
+           ROUND((pa - pb) * ln(pa / pb) + 1e-9, 6) AS psi_contrib,
+           ROUND(SUM((pa - pb) * ln(pa / pb)) OVER () + 1e-9, 6) AS psi
+    FROM shares
+    """,
+    doc=(
+        "population-stability-index drift detection: events.value binned "
+        "into 10 global equi-width buckets, first-half vs second-half of "
+        "the month, Laplace-smoothed shares, per-bin PSI contribution "
+        "plus the total (PSI > 0.2 is the classic retrain/alert line). "
+        "Scale shape: one global min/max agg broadcast to the scan, one "
+        "map-side-combined (period, bin) count — every post-count stage "
+        "(zero-filled 2x10 grid, shares, the unpartitioned window) runs "
+        "on BIN-grain rows, never events; two corpus passes total."
+    ),
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = ev.crossJoin(F.broadcast(stats)).select(
+        F.when(F.col("ts").cast("date") <= F.lit("2024-01-15").cast("date"), "a")
+        .otherwise("b")
+        .alias("period"),
+        F.least(
+            F.lit(9),
+            F.floor((F.col("value") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 10.0)),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    counts = binned.groupBy("period", "bin").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        spark.range(10)
+        .withColumnRenamed("id", "bin")
+        .crossJoin(spark.createDataFrame([("a",), ("b",)], ["period"]))
+    )
+    cnts = grid.join(counts, ["period", "bin"], "left").fillna(0, ["n"])
+    tot = cnts.groupBy("period").agg(F.sum("n").alias("nt"))
+    shares = (
+        cnts.join(F.broadcast(tot), "period")
+        .groupBy("bin")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("period") == "a",
+                    (F.col("n") + 1.0) / (F.col("nt") + 10.0),
+                )
+            ).alias("pa"),
+            F.max(
+                F.when(
+                    F.col("period") == "b",
+                    (F.col("n") + 1.0) / (F.col("nt") + 10.0),
+                )
+            ).alias("pb"),
+        )
+    )
+    contrib = (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))
+    return shares.select(
+        "bin",
+        stable_round(F.col("pa"), 6).alias("share_a"),
+        stable_round(F.col("pb"), 6).alias("share_b"),
+        stable_round(contrib, 6).alias("psi_contrib"),
+        stable_round(F.sum(contrib).over(W.partitionBy()), 6).alias("psi"),
+    )
+
+
+@register(
+    "q151_chi2_independence",
+    """
+    WITH cont AS (
+        SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+               COUNT(*) AS o
+        FROM events GROUP BY 1, 2
+    ), rt AS (SELECT event_type, SUM(o) AS r FROM cont GROUP BY 1),
+    ct AS (SELECT dow, SUM(o) AS c FROM cont GROUP BY 1),
+    n AS (SELECT SUM(o) AS n FROM cont)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((COUNT(DISTINCT cont.event_type) - 1)
+                * (COUNT(DISTINCT cont.dow) - 1) AS BIGINT) AS dof,
+           ROUND(SUM(pow(o - r * c / CAST(n AS DOUBLE), 2)
+                     / (r * c / CAST(n AS DOUBLE))) + 1e-9, 4) AS chi2
+    FROM cont JOIN rt USING (event_type) JOIN ct USING (dow), n
+    """,
+    doc=(
+        "chi-square independence test over the event_type x day-of-week "
+        "contingency table — the seasonality/segment-dependence check a "
+        "data-validation suite runs before trusting a stratified sample. "
+        "Scale shape: ONE corpus pass (the map-side-combined contingency "
+        "count); row totals, column totals and the statistic all derive "
+        "from the types x 7 contingency grain. DuckDB's dayofweek and "
+        "Spark's dayofweek share the 1=Sunday..7=Saturday convention "
+        "checked by the hash compare."
+    ),
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cont = ev.groupBy(
+        "event_type", F.dayofweek(F.col("ts").cast("date")).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = cont.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = cont.groupBy("dow").agg(F.sum("o").alias("c"))
+    n = cont.agg(F.sum("o").cast("double").alias("n"))
+    e = F.col("r") * F.col("c") / F.col("n")
+    joined = (
+        cont.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+        stable_round(F.sum(F.pow(F.col("o") - e, 2) / e), 4).alias("chi2"),
+    )

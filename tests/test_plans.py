@@ -434,3 +434,14 @@ def test_q149_stacked_windows_one_exchange(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q149_scd2_intervals")
     assert plan.count("Exchange") == 1, plan
     assert "SinglePartition" not in plan
+
+
+def test_q150_q151_no_wide_joins(spark, sf_dir):
+    """Drift/independence stats: every join is a broadcast (the 1-row
+    min/max stats, the 2x10 grid, the contingency-grain totals) — never
+    a sort-merge join or cartesian over corpus rows; the only
+    corpus-grain stages are the map-side-combined counts."""
+    for name in ("q150_psi_drift", "q151_chi2_independence"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
