@@ -585,3 +585,134 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dof"),
         stable_round(F.sum(F.pow(F.col("o") - e, 2) / e), 4).alias("chi2"),
     )
+
+
+CEP_WINDOW_NS = 172_800_000_000_000  # 48 h pattern deadline for q152
+
+
+@register(
+    "q152_cep_pattern",
+    f"""
+    WITH b AS (
+        SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN epoch_ns(ts) END) OVER w AS np
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ), b2 AS (
+        SELECT user_id, ts_ns, event_id, event_type,
+               MIN(CASE WHEN event_type = 'click' THEN ts_ns END) OVER w
+                   AS nc,
+               MIN(CASE WHEN event_type = 'click' THEN np END) OVER w
+                   AS ncp
+        FROM b
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           ts_ns AS view_ts,
+           nc AS click_ts,
+           ncp AS purchase_ts
+    FROM b2
+    WHERE event_type = 'view'
+      AND nc IS NOT NULL AND ncp IS NOT NULL
+      AND nc  <= ts_ns + {CEP_WINDOW_NS}
+      AND ncp <= ts_ns + {CEP_WINDOW_NS}
+    """,
+    doc=(
+        "complex-event-processing pattern instances (MATCH_RECOGNIZE "
+        "'view -> click -> purchase within 48h', AFTER MATCH SKIP TO NEXT "
+        "ROW): every view opens a potential match, completed by the "
+        "FIRST following click and the FIRST purchase after that click, "
+        "all within the 2h deadline. JOIN-FREE formulation: pass 1 "
+        "computes each row's next-purchase time (suffix min over the "
+        "user timeline), pass 2 computes next-click time AND the "
+        "next-purchase-after-that-click as suffix mins over click rows — "
+        "valid because next-purchase is monotone along the timeline, so "
+        "the suffix min always picks the FIRST following click's value. "
+        "Two stacked windows share one user_id Exchange (plan-pinned); "
+        "the classic CEP NFA runs as two window passes, no self-join, "
+        "no state machine."
+    ),
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts_ns", "event_id", "event_type"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    b = ev.withColumn(
+        "np",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts_ns"))
+        ).over(w),
+    )
+    b2 = b.withColumn(
+        "nc",
+        F.min(F.when(F.col("event_type") == "click", F.col("ts_ns"))).over(w),
+    ).withColumn(
+        "ncp",
+        F.min(F.when(F.col("event_type") == "click", F.col("np"))).over(w),
+    )
+    deadline = F.col("ts_ns") + F.lit(CEP_WINDOW_NS)
+    return (
+        b2.filter(
+            (F.col("event_type") == "view")
+            & F.col("nc").isNotNull()
+            & F.col("ncp").isNotNull()
+            & (F.col("nc") <= deadline)
+            & (F.col("ncp") <= deadline)
+        )
+        .select(
+            "user_id",
+            F.col("ts_ns").alias("view_ts"),
+            F.col("nc").alias("click_ts"),
+            F.col("ncp").alias("purchase_ts"),
+        )
+    )
+
+
+@register(
+    "q153_dtw_similarity",
+    None,
+    doc=(
+        "time-series similarity search by Dynamic Time Warping: each "
+        "user's daily value series vs a fixed 30-point reference ramp, "
+        "Sakoe-Chiba band radius 5 (O(n*r) DP instead of O(n*m)). The "
+        "series build is one map-side-combined (user, day) rollup + a "
+        "same-key sort_array collect; the DP runs as a vectorized-batch "
+        "Arrow pandas UDF (numpy per series — the one genuinely "
+        "iterative per-row kernel, not expressible in SQL, hence "
+        "rows-only; exact distances pinned in tests against an "
+        "independent pure-Python DTW). At 100 TB: series are "
+        "user-bounded (<=31 points), so the UDF input is user-grain, "
+        "never event-grain."
+    ),
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.timeseries import REF_PATTERN, dtw_to_ref
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_no"),
+    ).agg(F.round(F.sum("value") + F.lit(1e-9), 2).alias("v"))
+    series = daily.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day_no", "v"))),
+            lambda s: s["v"],
+        ).alias("series")
+    )
+    return series.select(
+        "user_id",
+        F.size("series").alias("n_days"),
+        F.round(dtw_to_ref(F.col("series"), REF_PATTERN, radius=5), 4).alias(
+            "dtw_dist"
+        ),
+    )

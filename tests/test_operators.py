@@ -969,3 +969,75 @@ def test_segment_dedup_hashed_matches_string_keys(spark, sf_dir):
     rows_a = sorted(tuple(r) for r in a.collect())
     rows_b = sorted(tuple(r) for r in b.collect())
     assert rows_a == rows_b
+
+
+def _dtw_reference(a, b):
+    # independent O(n*m) full-matrix DTW (no band) for pinning the kernel
+    import math
+    n, m = len(a), len(b)
+    D = [[math.inf] * (m + 1) for _ in range(n + 1)]
+    D[0][0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            c = abs(a[i - 1] - b[j - 1])
+            D[i][j] = c + min(D[i - 1][j], D[i][j - 1], D[i - 1][j - 1])
+    return D[n][m]
+
+
+def test_dtw_banded_matches_full_matrix():
+    import numpy as np
+    from sanctum_spark.operators.timeseries import dtw_banded
+
+    rngs = [
+        [1.0, 2.0, 3.0, 2.0, 1.0],
+        [0.0, 0.0, 5.0, 5.0, 0.0, 0.0, 7.0],
+        [3.3],
+        [10.0, 9.0, 8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.0],
+    ]
+    pat = [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+    for s in rngs:
+        # a wide band must equal the unbanded full-matrix distance
+        got = dtw_banded(np.array(s), np.array(pat), radius=max(len(s), len(pat)))
+        want = _dtw_reference(s, pat)
+        assert abs(got - want) < 1e-9, (s, got, want)
+    # identical series at any radius: zero distance
+    assert dtw_banded(np.array(pat), np.array(pat), radius=1) == 0.0
+
+
+def test_q153_dtw_matches_driver_side_reference(spark, sf_dir):
+    """The distributed q153 distances must equal an independent
+    driver-side DTW over the same per-user series (band widened to the
+    unbanded optimum for the compare)."""
+    import numpy as np
+
+    import sanctum_spark.queries as qreg
+    from sanctum_spark.operators.timeseries import REF_PATTERN, dtw_banded
+
+    qreg.load_all_modules()
+    out = {
+        r["user_id"]: (r["n_days"], r["dtw_dist"])
+        for r in qreg.REGISTRY["q153_dtw_similarity"].fn(spark, sf_dir).collect()
+    }
+    from sanctum_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("day_no"),
+        )
+        .agg(F.round(F.sum("value") + F.lit(1e-9), 2).alias("v"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["user_id"], []).append((r["day_no"], r["v"]))
+    for uid, pts in list(series.items())[:20]:
+        s = [v for _, v in sorted(pts)]
+        want = round(
+            dtw_banded(np.array(s), np.array(REF_PATTERN, dtype=float), 5), 4
+        )
+        assert out[uid] == (len(s), want), uid

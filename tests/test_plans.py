@@ -445,3 +445,13 @@ def test_q150_q151_no_wide_joins(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "SortMergeJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_q152_cep_join_free_single_exchange(spark, sf_dir):
+    """CEP pattern instances: the NFA collapses to two stacked suffix-min
+    windows on one user_id partitioning — no Join node anywhere, exactly
+    one Exchange."""
+    plan = plan_of(spark, sf_dir, "q152_cep_pattern")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1, plan
+    assert "SinglePartition" not in plan
