@@ -138,15 +138,19 @@ VERIFY_FIRST: list[str] = [
     "q71_text_stats",
     "q72_lang_quality",
     "q76_quality_profile",
+    # (q67/q68 dropped from the front when q148/q152 landed: their io.py
+    # concern was the r3 ts re-derivation, which q60-q62/q66/q69 and the
+    # new events-table queries q148/q149/q152 evidence more directly —
+    # props parsing is untouched by the loader change)
     "q66_exists_sql",
-    "q67_props_as_map",
-    "q68_regexp_extract",
     "q69_date_arithmetic",
-    # --- 3. family anchors (last verified r01; q13/q20 dropped from the
-    # front when q144-q147 landed — their families have r03 coverage via
-    # q44/q45/q63 and the window suite) ---
-    "q01_pricing_summary",
-    "q03_shipping_priority",
+    # --- 1b continued: the round-4 additions q148-q153 outrank r01-verified
+    # family anchors for the 50-slot gate (q01/q03/q13/q20 all carry r01
+    # CORRECTNESS rows and keep passing the local replica); two slots
+    # remain, so the RANGE-frame and CEP families go in and q149-q151 +
+    # rows-only q153 rotate in next round ---
+    "q148_trailing_range_frame",
+    "q152_cep_pattern",
 ]
 
 
