@@ -1041,3 +1041,49 @@ def test_q153_dtw_matches_driver_side_reference(spark, sf_dir):
             dtw_banded(np.array(s), np.array(REF_PATTERN, dtype=float), 5), 4
         )
         assert out[uid] == (len(s), want), uid
+
+
+def test_segment_dedup_conservation_invariants(spark, sf_dir):
+    """Bookkeeping identities of the segment-dedup profile:
+    sum(n_segments) == total exploded instances, and
+    sum(n_dup_segments) == instances - distinct segments (every distinct
+    segment has exactly one rank-1 instance)."""
+    from pyspark.sql import functions as F
+
+    from sanctum_spark.io import load_table
+    from sanctum_spark.operators.dedup import segment_dedup_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    prof = segment_dedup_profile(docs, "text", "doc_id").agg(
+        F.sum("n_segments").alias("inst"), F.sum("n_dup_segments").alias("dup")
+    ).first()
+
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    n_seg = F.ceil(F.size(toks) / F.lit(10)).cast("int")
+    segs = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+            )
+        ).alias("segment")
+    )
+    inst = segs.count()
+    distinct = segs.distinct().count()
+    assert prof["inst"] == inst
+    assert prof["dup"] == inst - distinct
+
+
+def test_psi_invariants(spark, sf_dir):
+    """PSI is symmetric-positive: total >= 0, and the smoothed shares on
+    each side sum to (n + 10*1)/(n + 10) == 1 exactly (Laplace mass)."""
+    import sanctum_spark.queries as qreg
+
+    qreg.load_all_modules()
+    rows = qreg.REGISTRY["q150_psi_drift"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    psi = rows[0]["psi"]
+    assert all(r["psi"] == psi for r in rows)
+    assert psi >= 0.0
+    assert abs(sum(r["share_a"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["share_b"] for r in rows) - 1.0) < 1e-4
