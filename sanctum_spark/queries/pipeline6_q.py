@@ -716,3 +716,115 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dtw_dist"
         ),
     )
+
+
+@register(
+    "q154_benford_digits",
+    """
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM lineitem
+        WHERE l_extendedprice >= 1
+    ), c AS (
+        SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+    ), t AS (SELECT SUM(n) AS nt FROM c)
+    SELECT digit,
+           n,
+           ROUND(n / CAST(nt AS DOUBLE) + 1e-9, 6) AS observed,
+           ROUND(log10(1.0 + 1.0 / digit) + 1e-9, 6) AS benford,
+           ROUND(abs(n / CAST(nt AS DOUBLE) - log10(1.0 + 1.0 / digit))
+                 + 1e-9, 6) AS abs_dev,
+           ROUND(SUM(abs(n / CAST(nt AS DOUBLE)
+                         - log10(1.0 + 1.0 / digit))) OVER () + 1e-9, 6)
+               AS total_mad
+    FROM c, t
+    """,
+    doc=(
+        "Benford first-significant-digit test over l_extendedprice: "
+        "observed leading-digit shares vs the log10(1+1/d) law, per-digit "
+        "absolute deviation plus the summed MAD statistic — the forensic "
+        "data-quality screen for fabricated or truncated numeric columns "
+        "(synthetic uniform-ish prices deviate loudly; organic "
+        "multiplicative data doesn't). Scale shape: leading digit is a "
+        "string expression at the scan, one map-side-combined 9-row "
+        "count; everything after runs at digit grain, window included."
+    ),
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") >= 1
+    )
+    d = li.select(
+        F.substring(
+            F.floor("l_extendedprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("double").alias("nt"))
+    obs = F.col("n") / F.col("nt")
+    law = F.log10(1.0 + 1.0 / F.col("digit"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        stable_round(obs, 6).alias("observed"),
+        stable_round(law, 6).alias("benford"),
+        stable_round(F.abs(obs - law), 6).alias("abs_dev"),
+        stable_round(
+            F.sum(F.abs(obs - law)).over(W.partitionBy()), 6
+        ).alias("total_mad"),
+    )
+
+
+@register(
+    "q155_weighted_reservoir",
+    """
+    WITH keyed AS (
+        SELECT lang, doc_id,
+               ln(((""" + _u16_sql() + """) + 0.5) / 65536.0)
+                   / n_chars AS es_key
+        FROM documents
+        WHERE n_chars > 0
+    ), ranked AS (
+        SELECT lang, doc_id,
+               ROUND(es_key + 1e-12, 9) AS es_key_r,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY ROUND(es_key + 1e-12, 9) DESC, doc_id
+               ) AS rn
+        FROM keyed
+    )
+    SELECT lang, doc_id, es_key_r AS es_key, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
+    doc=(
+        "Efraimidis-Spirakis weighted reservoir sampling (A-ES), "
+        "distributed: each doc draws the deterministic md5-u16 uniform, "
+        "key = ln(u)/weight with weight = n_chars, and the per-language "
+        "top-10 by key IS a weight-proportional without-replacement "
+        "sample. The top-k-by-key formulation is exactly why A-ES "
+        "distributes: no sequential reservoir, just a per-group rank — "
+        "WindowGroupLimit prunes losers map-side before the shuffle. "
+        "Rank on the ROUNDED key (9 dp) with doc_id tiebreak so libm "
+        "ulp differences between engines cannot flip selections."
+    ),
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (_u16_spark() + 0.5) / 65536.0
+    es_key = F.round(
+        F.log(u) / F.col("n_chars") + F.lit(1e-12), 9
+    )
+    ranked = docs.select(
+        "lang", "doc_id", es_key.alias("es_key")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("lang").orderBy(F.desc("es_key"), F.asc("doc_id"))
+        ),
+    )
+    return ranked.filter(F.col("rn") <= 10).select(
+        "lang", "doc_id", "es_key", F.col("rn").cast("long").alias("rn")
+    )

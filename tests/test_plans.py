@@ -455,3 +455,11 @@ def test_q152_cep_join_free_single_exchange(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("Exchange") == 1, plan
     assert "SinglePartition" not in plan
+
+
+def test_q155_reservoir_uses_group_limit(spark, sf_dir):
+    """A-ES weighted reservoir: the per-language top-10-by-key must be a
+    WindowGroupLimit (losers pruned map-side before the shuffle), never a
+    full per-group sort of the corpus."""
+    plan = plan_of(spark, sf_dir, "q155_weighted_reservoir")
+    assert "WindowGroupLimit" in plan, plan
