@@ -828,3 +828,41 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rn") <= 10).select(
         "lang", "doc_id", "es_key", F.col("rn").cast("long").alias("rn")
     )
+
+
+@register(
+    "q156_powerlaw_fit",
+    """
+    WITH per_key AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ), coc AS (
+        SELECT cnt, COUNT(*) AS freq FROM per_key GROUP BY cnt
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(regr_slope(ln(freq), ln(cnt)) + 1e-9, 6) AS slope,
+           ROUND(regr_intercept(ln(freq), ln(cnt)) + 1e-9, 6) AS intercept,
+           ROUND(regr_r2(ln(freq), ln(cnt)) + 1e-9, 6) AS r2
+    FROM coc
+    """,
+    doc=(
+        "power-law tail estimation over the key-degree distribution: "
+        "count-of-counts of events per user (the q134 skew table), then "
+        "an OLS fit of ln(freq) on ln(cnt) — slope ~ -alpha of the "
+        "heavy tail, r2 says whether a power law explains the skew at "
+        "all (the number that decides salting vs AQE vs nothing). Scale "
+        "shape: two map-side-combined counts collapse the corpus to "
+        "distinct-count grain; the regr_* aggregate reduces those few "
+        "rows to moment partials in one pass — a single output row."
+    ),
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    coc = per_key.groupBy("cnt").agg(F.count(F.lit(1)).alias("freq"))
+    lf, lc = F.log("freq"), F.log("cnt")
+    return coc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        stable_round(F.regr_slope(lf, lc), 6).alias("slope"),
+        stable_round(F.regr_intercept(lf, lc), 6).alias("intercept"),
+        stable_round(F.regr_r2(lf, lc), 6).alias("r2"),
+    )
