@@ -1087,3 +1087,46 @@ def test_psi_invariants(spark, sf_dir):
     assert psi >= 0.0
     assert abs(sum(r["share_a"] for r in rows) - 1.0) < 1e-4
     assert abs(sum(r["share_b"] for r in rows) - 1.0) < 1e-4
+
+
+def test_zorder_layout_prunes_row_groups(spark, tmp_path):
+    """End-to-end proof the Z-order layout earns its keep: after writing
+    the clustered frame, parquet footer min/max stats (read directly with
+    pyarrow) must let a range predicate on EITHER clustered column skip
+    the large majority of files, while the same data written in hash
+    layout skips ~none."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from sanctum_spark.operators.layout import zorder_by
+
+    df = (
+        spark.range(40_000)
+        .withColumn("a", (F.col("id") * 7919) % 1000)
+        .withColumn("b", (F.col("id") * 104729) % 1000)
+        .withColumn("payload", F.col("id") * 3)
+    )
+    zdir, rdir = str(tmp_path / "z"), str(tmp_path / "r")
+    zorder_by(df, ["a", "b"], n_partitions=16).write.parquet(zdir)
+    df.repartition(16).write.parquet(rdir)
+
+    def files_hit(d, col, lo, hi):
+        import glob
+
+        hit = total = 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                total += 1
+                if st.max >= lo and st.min <= hi:
+                    hit += 1
+        return hit, total
+
+    for col in ("a", "b"):
+        zh, zt = files_hit(zdir, col, 100, 160)  # ~6% of the domain
+        rh, rt = files_hit(rdir, col, 100, 160)
+        assert rh == rt, "hash layout should have no pruning power"
+        # clustered: the 6% slice must live in a minority of row groups
+        assert zh <= zt // 2, (col, zh, zt)
