@@ -113,3 +113,84 @@ def streaming_partial_rollup(
         )
         .select(F.col("win.start").alias("bucket"), *keys, "n", "sum_value", "min_value", "max_value")
     )
+
+
+def windowed_bin_counts(
+    events: DataFrame,
+    mn: float,
+    mx: float,
+    n_bins: int = 10,
+    window_size: str = "6 hours",
+    watermark: str = "1 hour",
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming half of a windowed drift monitor: per event-time window,
+    equi-width bin counts of ``value_col`` over fixed [mn, mx) bounds
+    (the bounds come from the BASELINE profile — q150's batch pass — so
+    every window bins identically to the reference distribution).
+
+    This is the only corpus-weight stage of the monitor; the PSI algebra
+    itself runs on bin-grain rows via :func:`psi_from_counts` after the
+    counts leave the stream (chaining a second stateful aggregation
+    inside the stream buys nothing — the count table is already
+    windows x bins tiny)."""
+    width = (mx - mn) / float(n_bins)
+    bin_col = F.least(
+        F.lit(n_bins - 1), F.floor((F.col(value_col) - F.lit(mn)) / F.lit(width))
+    ).cast("long")
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(
+            F.window(time_col, window_size).alias("win"), bin_col.alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), "bin", "n")
+    )
+
+
+def psi_from_counts(
+    counts: DataFrame, baseline: DataFrame, n_bins: int = 10
+) -> DataFrame:
+    """Batch half of the drift monitor: per window, the PSI of the
+    window's Laplace-smoothed bin shares against ``baseline`` shares
+    ((bin, share) rows, q150 smoothing convention).  Missing bins
+    zero-fill through the baseline's bin spine.  Input is bin-grain, so
+    every stage here is bounded by windows x bins."""
+    # fresh attribute ids on the spine side (ws/sbin) — the spine derives
+    # from `counts` itself, and joining two branches of one lineage on
+    # same-exprId columns is a Catalyst ambiguity error
+    spine = (
+        counts.select(F.col("window_start").alias("ws"))
+        .distinct()
+        .crossJoin(F.broadcast(baseline.select(F.col("bin").alias("sbin"))))
+    )
+    full = (
+        spine.join(
+            counts,
+            (F.col("ws") == counts["window_start"])
+            & (F.col("sbin") == counts["bin"]),
+            "left",
+        )
+        .select(
+            F.col("ws").alias("window_start"),
+            F.col("sbin").alias("bin"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+    tot = full.groupBy("window_start").agg(F.sum("n").alias("nt"))
+    share = (F.col("n") + 1.0) / (F.col("nt") + float(n_bins))
+    scored = (
+        full.join(F.broadcast(tot), "window_start")
+        .join(F.broadcast(baseline), "bin")
+        .select(
+            "window_start",
+            "bin",
+            share.alias("p"),
+            F.col("share").alias("q"),
+        )
+    )
+    contrib = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    return scored.groupBy("window_start").agg(
+        F.round(F.sum(contrib) + F.lit(1e-9), 6).alias("psi")
+    )

@@ -445,3 +445,60 @@ def test_stateful_ewma_multi_chunk_ordering(spark, sf_dir, staged, tmp_path):
         assert final == want
     finally:
         spark.conf.set(key, old)
+
+
+def test_windowed_psi_drift_matches_batch(spark, sf_dir, staged):
+    """Streaming drift monitor: windowed bin counts from the stream +
+    bin-grain PSI algebra must equal the same computation done directly
+    in batch over the staged events (complete mode: availableNow's
+    watermark lag must not drop tail windows from the count table)."""
+    from pyspark.sql import functions as F
+
+    from sanctum_spark.io import load_table
+    from sanctum_spark.streaming.windows import (
+        psi_from_counts,
+        windowed_bin_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    mn, mx = ev.agg(F.min("value"), F.max("value")).first()
+    # baseline: whole-table smoothed shares over the same fixed bins
+    width = (mx - mn) / 10.0
+    b = ev.select(
+        F.least(F.lit(9), F.floor((F.col("value") - mn) / width))
+        .cast("long")
+        .alias("bin")
+    )
+    nt = b.count()
+    baseline = (
+        spark.range(10)
+        .withColumnRenamed("id", "bin")
+        .join(b.groupBy("bin").agg(F.count(F.lit(1)).alias("n")), "bin", "left")
+        .fillna(0, ["n"])
+        .select("bin", ((F.col("n") + 1.0) / (nt + 10.0)).alias("share"))
+    )
+
+    stream = SRC.events_file_stream(spark, staged)
+    counts = windowed_bin_counts(stream, float(mn), float(mx), 10, "6 hours")
+    name = f"psi_{uuid.uuid4().hex[:8]}"
+    _drain(counts, name, mode="complete")
+    got = {
+        r["window_start"]: r["psi"]
+        for r in psi_from_counts(spark.table(name), baseline).collect()
+    }
+
+    batch_counts = (
+        ev.groupBy(
+            F.window("ts", "6 hours").alias("win"),
+            F.least(F.lit(9), F.floor((F.col("value") - mn) / width))
+            .cast("long")
+            .alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), "bin", "n")
+    )
+    want = {
+        r["window_start"]: r["psi"]
+        for r in psi_from_counts(batch_counts, baseline).collect()
+    }
+    assert got == want and len(got) > 0
