@@ -1130,3 +1130,79 @@ def test_zorder_layout_prunes_row_groups(spark, tmp_path):
         assert rh == rt, "hash layout should have no pruning power"
         # clustered: the 6% slice must live in a minority of row groups
         assert zh <= zt // 2, (col, zh, zt)
+
+
+def test_q147_two_pass_equals_direct_exact(spark, sf_dir):
+    """The sampled-candidate shortcut must be output-lossless: the
+    two-pass heavy hitters equal a direct single-pass groupBy+HAVING
+    over the full corpus (the sample only prunes work, never answers)."""
+    from pyspark.sql import functions as F
+
+    import sanctum_spark.queries as qreg
+    from sanctum_spark.io import load_table
+
+    qreg.load_all_modules()
+    got = {
+        (r["token"], r["cnt"])
+        for r in qreg.REGISTRY["q147_heavy_hitters"].fn(spark, sf_dir).collect()
+    }
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    )
+    n_total = tok.count()
+    want = {
+        (r["token"], r["cnt"])
+        for r in tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= int(n_total / 100.0))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_q152_cep_matches_python_state_machine(spark, sf_dir):
+    """The join-free suffix-min formulation rests on a monotonicity
+    argument; replay the pattern with an explicit per-user NFA in Python
+    and require identical match instances."""
+    import sanctum_spark.queries as qreg
+    from sanctum_spark.io import load_table
+    from sanctum_spark.queries.pipeline6_q import CEP_WINDOW_NS
+
+    qreg.load_all_modules()
+    got = {
+        (r["user_id"], r["view_ts"], r["click_ts"], r["purchase_ts"])
+        for r in qreg.REGISTRY["q152_cep_pattern"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts_ns", "event_id", "event_type")
+        .collect()
+    )
+    timeline: dict = {}
+    for r in ev:
+        timeline.setdefault(r["user_id"], []).append(
+            (r["ts_ns"], r["event_id"], r["event_type"])
+        )
+    want = set()
+    for uid, rows in timeline.items():
+        rows.sort()
+        for i, (vts, _, typ) in enumerate(rows):
+            if typ != "view":
+                continue
+            deadline = vts + CEP_WINDOW_NS
+            click_ts = purchase_ts = None
+            for ts, _, t2 in rows[i + 1:]:
+                if click_ts is None:
+                    if t2 == "click":
+                        click_ts = ts
+                elif t2 == "purchase":
+                    purchase_ts = ts
+                    break
+            if (
+                click_ts is not None
+                and purchase_ts is not None
+                and click_ts <= deadline
+                and purchase_ts <= deadline
+            ):
+                want.add((uid, vts, click_ts, purchase_ts))
+    assert got == want and len(want) > 0
