@@ -327,17 +327,26 @@ def ngram_lm_score(
     with additive (add-alpha) smoothing for unseen grams.
 
     Scale shape: the count table is vocabulary-bounded → broadcast; the
-    corpus side is explode + broadcast-hash left join + one groupBy(id)
-    whose payload is a single running (sum, n) — the canonical model-based
-    quality-filter pass (CCNet/KenLM shape) without leaving the JVM.
+    corpus side pre-aggregates to (id, gram, in-doc count) BEFORE the
+    join, so repeated grams within a document probe the broadcast table
+    once, not once per instance (A/B at sf0.1 warm: 3.5 s vs 4.2 s; the
+    repetition factor — and the win — grows with document length).  The
+    score is then the count-weighted mean log-prob, algebraically equal
+    to avg-over-instances.  One groupBy(id) finishes with a (sum, n)
+    payload — the canonical model-based quality-filter pass (CCNet/KenLM
+    shape) without leaving the JVM.
     Returns (id, n_grams, lm_logp) with lm_logp = avg ln p(gram).
     """
     totals = table.agg(
         F.sum("cnt").cast("double").alias("_total"),
         F.count(F.lit(1)).cast("double").alias("_vocab"),
     )
-    grams = docs.select(
-        F.col(id_col), F.explode(char_ngrams(text_col, n)).alias("gram")
+    grams = (
+        docs.select(
+            F.col(id_col), F.explode(char_ngrams(text_col, n)).alias("gram")
+        )
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
     logp = F.log(
         (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + F.lit(alpha))
@@ -348,8 +357,8 @@ def ngram_lm_score(
         .crossJoin(F.broadcast(totals))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.avg(logp).alias("lm_logp"),
+            F.sum("_c").alias("n_grams"),
+            (F.sum(F.col("_c") * logp) / F.sum("_c")).alias("lm_logp"),
         )
     )
 
