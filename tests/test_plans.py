@@ -345,6 +345,9 @@ def test_q142_no_cartesian_and_broadcast_sizes(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+    # single corpus pass: both consumers (sizes + pair expansion) read the
+    # persisted vocabulary-grain source-set table, not the corpus again
+    assert plan.count("InMemoryTableScan") >= 2
 
 
 def test_q144_two_exchanges_no_joins(spark, sf_dir):
