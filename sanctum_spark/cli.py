@@ -26,8 +26,70 @@ from sanctum_spark.spells.errors import MAX_SPELL_SIZE, SpellError, SpellNotATab
 from sanctum_spark.spells.runtime import simulate
 
 USAGE = (
-    "usage: python -m sanctum_spark.cli cast <spell.py> --seed <seed.py> [--dump-events]"
+    "usage: python -m sanctum_spark.cli cast <spell.py> --seed <seed.py>"
+    " [--dump-events]\n"
+    "       python -m sanctum_spark.cli query <name>|--list [--sf-dir DIR]"
+    " [--limit N] [--explain]"
 )
+
+
+def _query_main(argv: list[str]) -> int:
+    """``query`` subcommand: run a registered analytics query by name
+    against a testdata scale directory (the switch-over surface for a
+    reference user — every SURVEY §2 operator is reachable from here)."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    limit, explain, do_list, name = 20, False, False, None
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--sf-dir":
+            i += 1
+            if i >= len(argv):
+                print(USAGE, file=sys.stderr)
+                return 1
+            sf_dir = argv[i]
+        elif a == "--limit":
+            i += 1
+            if i >= len(argv):
+                print(USAGE, file=sys.stderr)
+                return 1
+            limit = int(argv[i])
+        elif a == "--explain":
+            explain = True
+        elif a == "--list":
+            do_list = True
+        elif name is None and not a.startswith("-"):
+            name = a
+        else:
+            print(USAGE, file=sys.stderr)
+            return 1
+        i += 1
+
+    import sanctum_spark.queries as qreg
+
+    qreg.load_all_modules()
+    if do_list or name is None:
+        for q in qreg.REGISTRY.values():
+            kind = "oracle" if q.oracle else "rows-only"
+            print(f"{q.name}  [{kind}]  {q.doc.split('.')[0][:90]}")
+        return 0
+    if name not in qreg.REGISTRY:
+        print(f"unknown query '{name}' — see --list", file=sys.stderr)
+        return 1
+
+    from sanctum_spark.session import get_spark
+
+    spark = get_spark("cli-query")
+    try:
+        df = qreg.REGISTRY[name].fn(spark, sf_dir)
+        if explain:
+            df.explain("formatted")
+        df.show(limit, truncate=False)
+    finally:
+        spark.stop()
+    return 0
 
 
 def _load_module_value(path: str, var: str, what: str):
@@ -91,6 +153,8 @@ def _print_source_context(source: str, lineno: int | None, context: int = 1) -> 
 
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "query":
+        return _query_main(argv[1:])
     if not argv or argv[0] != "cast":
         print(USAGE, file=sys.stderr)
         return 1

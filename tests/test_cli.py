@@ -186,3 +186,24 @@ def test_runaway_loop_cli(tmp_path):
     )
     p = run_cast(tmp_path, spell, "seed = {'counter': 5000}\n")
     assert p.returncode == 0  # bounded, no hang
+
+
+def test_cli_query_list_and_unknown():
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable, "-m", "sanctum_spark.cli", "query", "--list"],
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0
+    lines = [l for l in r.stdout.splitlines() if l.startswith("q")]
+    assert len(lines) >= 151 and any("[oracle]" in l for l in lines)
+
+    r2 = subprocess.run(
+        [_sys.executable, "-m", "sanctum_spark.cli", "query", "no_such"],
+        capture_output=True,
+        text=True,
+    )
+    assert r2.returncode == 1 and "unknown query" in r2.stderr
