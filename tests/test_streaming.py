@@ -502,3 +502,27 @@ def test_windowed_psi_drift_matches_batch(spark, sf_dir, staged):
         for r in psi_from_counts(batch_counts, baseline).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_cep_matches_batch_q152(spark, sf_dir, staged):
+    """The streaming NFA must emit exactly the batch q152 match set over
+    the replayed event log (completions appear in the micro-batch whose
+    purchase closes them; state carries partial matches across batches)."""
+    import sanctum_spark.queries as qreg
+    from sanctum_spark.queries.pipeline6_q import CEP_WINDOW_NS
+    from sanctum_spark.streaming.cep import streaming_cep_pattern
+
+    qreg.load_all_modules()
+    stream = SRC.events_file_stream(spark, staged)
+    matches = streaming_cep_pattern(stream, CEP_WINDOW_NS)
+    name = f"cep_{uuid.uuid4().hex[:8]}"
+    _drain(matches, name)
+    got = {
+        (r["user_id"], r["view_ts"], r["click_ts"], r["purchase_ts"])
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r["user_id"], r["view_ts"], r["click_ts"], r["purchase_ts"])
+        for r in qreg.REGISTRY["q152_cep_pattern"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
