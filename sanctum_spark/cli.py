@@ -55,7 +55,11 @@ def _query_main(argv: list[str]) -> int:
             if i >= len(argv):
                 print(USAGE, file=sys.stderr)
                 return 1
-            limit = int(argv[i])
+            try:
+                limit = int(argv[i])
+            except ValueError:
+                print(USAGE, file=sys.stderr)
+                return 1
         elif a == "--explain":
             explain = True
         elif a == "--list":

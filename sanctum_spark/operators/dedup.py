@@ -633,6 +633,7 @@ def segment_dedup_profile(
     id_col: str = "doc_id",
     seg_tokens: int = 10,
     hashed: bool = False,
+    max_segments: int = 200,
 ) -> DataFrame:
     """Sub-document exact-dedup profile (CCNet's line-level dedup shape,
     with fixed ``seg_tokens``-token segments standing in for lines on
@@ -651,7 +652,13 @@ def segment_dedup_profile(
     oracle can replay the result exactly (q144).
     """
     toks = F.split(F.trim(F.lower(text_col)), r"\s+")
-    n_seg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    # per-doc segment cap (matches the q144 oracle's range(0, 200) and
+    # the q142 window-cap convention): a pathological mega-document
+    # contributes a bounded number of segments, never an unbounded explode
+    n_seg = F.least(
+        F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int"),
+        F.lit(max_segments),
+    )
     seg_expr = F.transform(
         F.sequence(F.lit(0), n_seg - 1),
         lambda i: F.array_join(F.slice(toks, i * seg_tokens + 1, seg_tokens), " "),

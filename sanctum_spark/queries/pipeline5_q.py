@@ -193,6 +193,18 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, srcs_all = _q142_build(spark, sf_dir)
+    # materialize the sources²-bounded result, then release the cached
+    # source-set table — repeated invocations in a long-lived session
+    # (bench / replica gate / CLI) must not accumulate cached copies
+    out = out.localCheckpoint(eager=True)
+    srcs_all.unpersist()
+    return out
+
+
+def _q142_build(spark: SparkSession, sf_dir: str):
+    """Pre-checkpoint q142 pipeline; separate so the plan pin can inspect
+    the real plan (the registered fn's eager checkpoint truncates it)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower("text")), r"\s+")
     # 5-gram shingles hashed to LONGS at the scan (xxhash64 of the joined
@@ -252,7 +264,7 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    return pairs.join(
+    out = pairs.join(
         F.broadcast(sizes.withColumnRenamed("source", "src_a")), "src_a"
     ).select(
         "src_a",
@@ -262,6 +274,7 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment_a"
         ),
     )
+    return out, srcs_all
 
 
 @register(

@@ -557,9 +557,12 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
         "data-validation suite runs before trusting a stratified sample. "
         "Scale shape: ONE corpus pass (the map-side-combined contingency "
         "count); row totals, column totals and the statistic all derive "
-        "from the types x 7 contingency grain. DuckDB's dayofweek and "
-        "Spark's dayofweek share the 1=Sunday..7=Saturday convention "
-        "checked by the hash compare."
+        "from the types x 7 contingency grain. NOTE: dow is a grouping "
+        "label only and never reaches the output — deliberately, because "
+        "the engines DISAGREE on numbering (Spark dayofweek: 1=Sunday; "
+        "DuckDB dayofweek: 0=Sunday) while the statistic is "
+        "label-invariant; surfacing dow would need an explicit "
+        "convention alignment."
     ),
 )
 def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,7 +628,7 @@ CEP_WINDOW_NS = 172_800_000_000_000  # 48 h pattern deadline for q152
         "'view -> click -> purchase within 48h', AFTER MATCH SKIP TO NEXT "
         "ROW): every view opens a potential match, completed by the "
         "FIRST following click and the FIRST purchase after that click, "
-        "all within the 2h deadline. JOIN-FREE formulation: pass 1 "
+        "all within the 48h deadline. JOIN-FREE formulation: pass 1 "
         "computes each row's next-purchase time (suffix min over the "
         "user timeline), pass 2 computes next-click time AND the "
         "next-purchase-after-that-click as suffix mins over click rows — "

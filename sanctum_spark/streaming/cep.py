@@ -53,13 +53,25 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def streaming_cep_pattern(
-    events: DataFrame, window_ns: int, watermark: str = "1 hour"
-) -> DataFrame:
+def streaming_cep_pattern(events: DataFrame, window_ns: int) -> DataFrame:
     """view -> click -> purchase matches (q152 semantics) from a stream.
 
     Emits each completed match exactly once, in the micro-batch where its
-    purchase arrives."""
+    purchase arrives.
+
+    "First following" is ROW order — (ts_ns, event_id), exactly batch
+    q152's frame ordering — not timestamp inequality: every pending entry
+    in state is, by construction, from an earlier row, so a click is the
+    first-following click for ALL pending views (equal-timestamp ties
+    included).  A deadline-violating first-follower kills its pattern
+    instance permanently (a later click/purchase would not be the FIRST).
+
+    State hygiene: empty state is removed (idle keys whose patterns all
+    resolved hold no state-store entry).  A key that goes quiet with
+    still-pending partials keeps at most one deadline-window of them; a
+    production deployment would add an event-time timeout to reap those —
+    noted rather than implemented because availableNow test triggers
+    cannot observe timeouts deterministically."""
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
         (uid,) = key
@@ -77,27 +89,18 @@ def streaming_cep_pattern(
                 if typ == "view":
                     pv.append(ts)
                 elif typ == "click":
-                    still = []
+                    # first following click for every pending view: match
+                    # within deadline, dead otherwise — either way resolved
                     for v in pv:
-                        if v < ts:
-                            if ts <= v + window_ns:
-                                ppv.append(v)
-                                ppc.append(ts)
-                            # else: deadline passed before the click - dead
-                        else:
-                            still.append(v)
-                    pv = still
+                        if ts <= v + window_ns:
+                            ppv.append(v)
+                            ppc.append(ts)
+                    pv = []
                 elif typ == "purchase":
-                    sv, sc = [], []
                     for v, c in zip(ppv, ppc):
-                        if c < ts:
-                            if ts <= v + window_ns:
-                                out.append((uid, v, c, ts))
-                            # else: deadline passed - dead
-                        else:
-                            sv.append(v)
-                            sc.append(c)
-                    ppv, ppc = sv, sc
+                        if ts <= v + window_ns:
+                            out.append((uid, v, c, ts))
+                    ppv, ppc = [], []
                 # prune anything that can no longer complete (state bound)
                 pv = [v for v in pv if v + window_ns >= ts]
                 keep = [
@@ -105,7 +108,10 @@ def streaming_cep_pattern(
                 ]
                 ppv = [ppv[i] for i in keep]
                 ppc = [ppc[i] for i in keep]
-        state.update((pv, ppv, ppc))
+        if pv or ppv:
+            state.update((pv, ppv, ppc))
+        elif state.exists:
+            state.remove()
         yield pd.DataFrame(
             out, columns=["user_id", "view_ts", "click_ts", "purchase_ts"]
         )

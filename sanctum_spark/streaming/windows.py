@@ -136,8 +136,17 @@ def windowed_bin_counts(
     inside the stream buys nothing — the count table is already
     windows x bins tiny)."""
     width = (mx - mn) / float(n_bins)
-    bin_col = F.least(
-        F.lit(n_bins - 1), F.floor((F.col(value_col) - F.lit(mn)) / F.lit(width))
+    # clamp BOTH ends: live data can drift outside the historical
+    # baseline's [mn, mx] in either direction — values below mn pile into
+    # bin 0 and above mx into bin n-1, so out-of-range drift inflates the
+    # edge-bin shares and raises PSI instead of silently vanishing (an
+    # unclamped negative bin would never join the baseline spine)
+    bin_col = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor((F.col(value_col) - F.lit(mn)) / F.lit(width)),
+        ),
     ).cast("long")
     return (
         events.withWatermark(time_col, watermark)

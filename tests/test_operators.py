@@ -1059,7 +1059,7 @@ def test_segment_dedup_conservation_invariants(spark, sf_dir):
     ).first()
 
     toks = F.split(F.trim(F.lower("text")), r"\s+")
-    n_seg = F.ceil(F.size(toks) / F.lit(10)).cast("int")
+    n_seg = F.least(F.ceil(F.size(toks) / F.lit(10)).cast("int"), F.lit(200))
     segs = docs.select(
         F.explode(
             F.transform(

@@ -44,6 +44,7 @@ EXISTING_RDD_OK = {
     "q88_user_correlation": "eager localCheckpoint of the bounded 4-column pair table (prevents double-eval of the pairing aggregate)",
     "q99_dedup_clusters": "iterative CC localCheckpoint (lineage cut, measured)",
     "q114_textrank_keywords": "power-iteration checkpoint batching (lineage cut)",
+    "q142_cross_source_overlap": "eager localCheckpoint of the sources^2-bounded result to release the persisted source-set table",
     "q147_heavy_hitters": "eager localCheckpoint of the (heavy-token, cnt) result to release the persisted token table",
     "q150_psi_drift": "2-row period literal frame",
 }

@@ -341,7 +341,12 @@ def test_q142_no_cartesian_and_broadcast_sizes(spark, sf_dir):
     """Cross-source overlap: the shingle self-join must be a hash join
     (never nested-loop/cartesian) and the source-size join-back a
     broadcast."""
-    plan = plan_of(spark, sf_dir, "q142_cross_source_overlap")
+    from sanctum_spark.queries.pipeline5_q import _q142_build
+
+    out, srcs_all = _q142_build(spark, sf_dir)
+    out.count()  # materialize the cache so InMemoryTableScan appears
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    srcs_all.unpersist()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan

@@ -526,3 +526,18 @@ def test_streaming_cep_matches_batch_q152(spark, sf_dir, staged):
         for r in qreg.REGISTRY["q152_cep_pattern"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_windowed_bin_counts_clamps_out_of_range(spark):
+    """Live values outside the historical baseline's [mn, mx) must land
+    in the edge bins (visible drift), never in negative/overflow bins
+    that would silently drop out of the PSI join."""
+    from sanctum_spark.streaming.windows import windowed_bin_counts
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", -50.0), ("2024-01-01 00:00:01", 999.0)],
+        ["ts", "value"],
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "value")
+    rows = windowed_bin_counts(df, mn=0.0, mx=100.0, n_bins=10).collect()
+    bins = sorted(r["bin"] for r in rows)
+    assert bins == [0, 9]
