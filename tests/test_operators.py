@@ -1206,3 +1206,81 @@ def test_q152_cep_matches_python_state_machine(spark, sf_dir):
             ):
                 want.add((uid, vts, click_ts, purchase_ts))
     assert got == want and len(want) > 0
+
+
+# --- hypothesis property tests for the pure kernels -----------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    a=st.lists(st.floats(-100, 100, allow_nan=False), min_size=1, max_size=12),
+    b=st.lists(st.floats(-100, 100, allow_nan=False), min_size=1, max_size=12),
+)
+def test_dtw_properties(a, b):
+    """DTW kernel laws: identity (d(x,x)=0 at any radius), symmetry at a
+    full band, band monotonicity (narrower bands can only raise the
+    distance — the band restricts the warp-path set), and the full band
+    equals the unbanded DP optimum."""
+    import numpy as np
+
+    from sanctum_spark.operators.timeseries import dtw_banded
+
+    A, B = np.array(a), np.array(b)
+    full = max(len(a), len(b))
+    d_full = dtw_banded(A, B, radius=full)
+    # identity & non-negativity
+    assert dtw_banded(A, A, radius=1) == 0.0
+    assert d_full >= 0.0
+    # symmetry under a full band
+    assert abs(d_full - dtw_banded(B, A, radius=full)) < 1e-9
+    # band monotonicity
+    d_narrow = dtw_banded(A, B, radius=1)
+    assert d_narrow >= d_full - 1e-9
+    # full band == unbanded reference DP
+    assert abs(d_full - _dtw_reference(a, b)) < 1e-9
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+            min_size=1,
+            max_size=35,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_segment_dedup_pure_python_model(spark, docs):
+    """Property: the operator's per-doc (n_segments, n_dup_segments) must
+    match an order-faithful pure-Python first-occurrence model for ANY
+    corpus of token lists (10-token segments, global (doc, idx) order)."""
+    # pure-Python model
+    seen: set = set()
+    want = {}
+    for doc_id, toks in enumerate(docs):
+        segs = [
+            " ".join(toks[i : i + 10]) for i in range(0, len(toks), 10)
+        ][:200]
+        dup = 0
+        for s in segs:
+            if s in seen:
+                dup += 1
+            else:
+                seen.add(s)
+        want[doc_id] = (len(segs), dup)
+    # distributed operator on the same corpus
+    from sanctum_spark.operators.dedup import segment_dedup_profile
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_dup_segments"])
+        for r in segment_dedup_profile(df, "text", "doc_id").collect()
+    }
+    assert got == want
+
