@@ -869,3 +869,68 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.regr_intercept(lf, lc), 6).alias("intercept"),
         stable_round(F.regr_r2(lf, lc), 6).alias("r2"),
     )
+
+
+def _hex60_spark(col: str = "text") -> F.Column:
+    """First 15 md5 hex digits as a 60-bit long (cross-engine identical —
+    same strpos idiom as the u16 sampler, 15 digits instead of 4)."""
+    u = F.lit(0).cast("long")  # long from the start: int would overflow at digit 8 under ANSI
+    for k in range(15):
+        d = F.expr(f"instr('{_HEX}', substring(md5({col}), {k + 1}, 1))") - 1
+        u = u * 16 + d
+    return u.cast("long")
+
+
+def _hex60_sql(col: str = "text") -> str:
+    terms = "0"
+    for k in range(15):
+        terms = (
+            f"(({terms}) * 16 + "
+            f"(strpos('{_HEX}', substr(md5({col}), {k + 1}, 1)) - 1))"
+        )
+    return terms
+
+
+@register(
+    "q157_shard_manifest",
+    f"""
+    WITH h AS (
+        SELECT {_u16_sql()} % 16 AS shard,
+               {_hex60_sql()} AS h60
+        FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           bit_xor(h60) AS content_xor,
+           CAST(SUM(h60) % 1152921504606846976 AS BIGINT) AS content_sum
+    FROM h
+    GROUP BY shard
+    """,
+    doc=(
+        "write-audit-publish content manifest: per content-shard (md5-u16 "
+        "mod 16, the q127 sharding convention) document count plus TWO "
+        "order-independent content checksums over a 60-bit md5-derived "
+        "digest — bit_xor (catches any single-row substitution) and the "
+        "wrapping sum (catches duplication that xor cancels). Comparing "
+        "manifests before/after a rewrite localizes corruption to a "
+        "shard without re-reading content (the sum wraps mod 2^60 so it "
+        "never overflows at corpus scale). Scale shape: one map-side-"
+        "combined 16-row aggregate; both checksums are commutative/"
+        "associative so partial aggregation is exact at any parallelism; "
+        "nothing but the 16-row manifest leaves the scan stage."
+    ),
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        (_u16_spark() % 16).alias("shard"), _hex60_spark().alias("h60")
+    )
+    return h.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("bit_xor(h60)").alias("content_xor"),
+        # sum in decimal then wrap mod 2^60: a long sum would ANSI-overflow
+        # around ~8 M docs; DuckDB's HUGEINT sum gets the same mod
+        (F.sum(F.col("h60").cast("decimal(38,0)")) % F.lit(2**60))
+        .cast("long")
+        .alias("content_sum"),
+    )
