@@ -52,3 +52,26 @@ def test_sliding_window_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
     # every event lands in windowsize/slide = 4 overlapping windows
     assert sum(n for _, n in got) == 4 * ev.count()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Appended batches with added/missing columns must union under
+    mergeSchema (the 100 TB reality: schemas evolve mid-corpus; old files
+    surface NULL for columns they predate)."""
+    from pyspark.sql import functions as F
+
+    from sanctum_spark.io import read_source
+
+    d = str(tmp_path / "evolving")
+    spark.range(3).select(F.col("id"), F.lit("a").alias("old_col")).write.parquet(
+        d + "/batch=1"
+    )
+    spark.range(3).select(
+        F.col("id"), F.lit(7).alias("new_col")
+    ).write.parquet(d + "/batch=2")
+    df = read_source(spark, d, "parquet", mergeSchema="true")
+    cols = set(df.columns)
+    assert {"id", "old_col", "new_col", "batch"} <= cols
+    assert df.count() == 6
+    # old files yield NULL for the late-added column
+    assert df.filter(F.col("new_col").isNull()).count() == 3
