@@ -934,3 +934,137 @@ def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("content_sum"),
     )
+
+
+@register(
+    "q158_quality_keeper",
+    r"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 1)),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+              FROM documents)
+    ),
+    ex AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT id, len(shingles) AS n_sh FROM sh),
+    prs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.4
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM prs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM prs
+    ),
+    reach(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(label) AS comp_id FROM reach GROUP BY id),
+    t AS (
+        SELECT doc_id,
+               len(str_split_regex(trim(text), '\s+')) * 1.0          AS n_tokens,
+               len(list_filter(str_split_regex(lower(trim(text)), '\s+'),
+                   w -> list_contains(['the','and','of','to','is','in','that','it'], w)))
+                   * 1.0 / GREATEST(len(str_split_regex(lower(trim(text)), '\s+')), 1)
+                                                                      AS x_sw,
+               (LENGTH(text) - LENGTH(regexp_replace(text, '[^\w\s]', '', 'g')))
+                   * 1.0 / GREATEST(LENGTH(text), 1)                  AS x_punct,
+               LENGTH(regexp_replace(text, '\s+', '', 'g')) * 1.0
+                   / GREATEST(len(str_split_regex(trim(text), '\s+')), 1)
+                                                                      AS mean_wlen
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id,
+               1.0 / (1.0 + exp(-(-1.0 + 2.2 * LEAST(n_tokens / 400.0, 1.0)
+                                       + 1.5 * x_sw
+                                       - 3.0 * x_punct
+                                       + 0.8 * LEAST(mean_wlen / 10.0, 1.0))))
+                   AS p
+        FROM t
+    ),
+    scored AS (
+        SELECT COALESCE(c.comp_id, q.doc_id) AS cluster_id,
+               q.doc_id,
+               ROUND(q.p + 1e-9, 6) AS p
+        FROM q LEFT JOIN comp c USING (doc_id)
+    ),
+    ranked AS (
+        SELECT cluster_id, doc_id, p,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id ORDER BY p DESC, doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM scored
+    )
+    SELECT cluster_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           doc_id AS keeper_doc_id,
+           p AS keeper_quality
+    FROM ranked WHERE rn = 1
+    """,
+    doc=(
+        "quality-aware canonicalization: near-dup clusters (q99's exact-"
+        "Jaccard connected components) each keep their HIGHEST-QUALITY "
+        "member (q125's logistic score, rank on the rounded score with "
+        "doc_id tiebreak), not the lowest id — the keeper-selection "
+        "policy real curation uses (best formatting survives, mirrors "
+        "die). Singletons are their own cluster and keeper. Scale shape: "
+        "adds one broadcast-able (doc, score) projection and a per-"
+        "cluster WindowGroupLimit rank on top of the existing CC "
+        "machinery; the quality score is a zero-shuffle scan expression."
+    ),
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from sanctum_spark.operators.text import quality_logit_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_k=3, threshold=0.4, hashed=True
+    )
+    comp = connected_components(pairs, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), F.col("component").alias("comp_id")
+    )
+    scored = (
+        docs.select(
+            "doc_id", stable_round(quality_logit_score("text"), 6).alias("p")
+        )
+        .join(comp, "doc_id", "left")
+        .select(
+            F.coalesce(F.col("comp_id"), F.col("doc_id")).alias("cluster_id"),
+            "doc_id",
+            "p",
+        )
+    )
+    wr = W.partitionBy("cluster_id")
+    ranked = scored.select(
+        "cluster_id",
+        "doc_id",
+        "p",
+        F.row_number()
+        .over(wr.orderBy(F.desc("p"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wr).alias("cluster_size"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("doc_id").alias("keeper_doc_id"),
+        F.col("p").alias("keeper_quality"),
+    )
