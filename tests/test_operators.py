@@ -1284,3 +1284,25 @@ def test_segment_dedup_pure_python_model(spark, docs):
     }
     assert got == want
 
+
+
+def test_order_sensitive_queries_are_run_deterministic(spark, sf_dir):
+    """Queries whose output depends on rank/tie-break/sample selection
+    must return identical results across runs in one session (partition
+    scheduling must not leak into results): run each twice, hash-equal."""
+    import sanctum_spark.queries as qreg
+
+    qreg.load_all_modules()
+    for name in (
+        "q155_weighted_reservoir",
+        "q117_group_sample",
+        "q128_zorder_key",
+        "q146_embedding_clusters",
+        "q158_quality_keeper",
+    ):
+        if name not in qreg.REGISTRY:
+            continue
+        fn = qreg.REGISTRY[name].fn
+        a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        assert a == b, name

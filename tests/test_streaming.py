@@ -541,3 +541,75 @@ def test_windowed_bin_counts_clamps_out_of_range(spark):
     rows = windowed_bin_counts(df, mn=0.0, mx=100.0, n_bins=10).collect()
     bins = sorted(r["bin"] for r in rows)
     assert bins == [0, 9]
+
+
+def test_streaming_cep_equal_timestamp_ties(spark, tmp_path):
+    """A click sharing ts_ns with a view (higher event_id) IS 'following'
+    in row order — both the batch window form and the streaming NFA must
+    match it; same for a click/purchase tie. Crafted log:
+      u1: view(t=100,id=1) click(t=100,id=2) purchase(t=150,id=3) -> match
+      u2: click(t=100,id=1) view(t=100,id=2) purchase(t=150,id=3) -> none
+          (the click PRECEDES the view in row order)
+      u3: view(t=100,id=1) click(t=120,id=2) purchase(t=120,id=3) -> match
+    """
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sanctum_spark.streaming.cep import streaming_cep_pattern
+
+    rows = [
+        (1, 100, 1, "view"), (1, 100, 2, "click"), (1, 150, 3, "purchase"),
+        (2, 100, 1, "click"), (2, 100, 2, "view"), (2, 150, 3, "purchase"),
+        (3, 100, 1, "view"), (3, 120, 2, "click"), (3, 120, 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts_ns", "event_id", "event_type"]
+    )
+    d = str(tmp_path / "tie_log")
+    df.coalesce(1).write.parquet(d)
+
+    # batch form: same suffix-min construction as q152 on this tiny log
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    b = df.withColumn(
+        "np",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_ns"))).over(w),
+    )
+    b2 = b.withColumn(
+        "nc",
+        F.min(F.when(F.col("event_type") == "click", F.col("ts_ns"))).over(w),
+    ).withColumn(
+        "ncp",
+        F.min(F.when(F.col("event_type") == "click", F.col("np"))).over(w),
+    )
+    deadline = F.col("ts_ns") + F.lit(1000)
+    batch = {
+        (r["user_id"], r["ts_ns"], r["nc"], r["ncp"])
+        for r in b2.filter(
+            (F.col("event_type") == "view")
+            & F.col("nc").isNotNull()
+            & F.col("ncp").isNotNull()
+            & (F.col("nc") <= deadline)
+            & (F.col("ncp") <= deadline)
+        ).collect()
+    }
+    assert batch == {(1, 100, 100, 150), (3, 100, 120, 120)}
+
+    stream = (
+        spark.readStream.schema(df.schema).parquet(d)
+    )
+    matches = streaming_cep_pattern(stream, 1000)
+    name = f"tie_{uuid.uuid4().hex[:8]}"
+    _drain(matches, name)
+    got = {
+        (r["user_id"], r["view_ts"], r["click_ts"], r["purchase_ts"])
+        for r in spark.table(name).collect()
+    }
+    assert got == batch
