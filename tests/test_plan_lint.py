@@ -47,6 +47,7 @@ EXISTING_RDD_OK = {
     "q142_cross_source_overlap": "eager localCheckpoint of the sources^2-bounded result to release the persisted source-set table",
     "q147_heavy_hitters": "eager localCheckpoint of the (heavy-token, cnt) result to release the persisted token table",
     "q150_psi_drift": "2-row period literal frame",
+    "q158_quality_keeper": "inherits connected_components' iterative localCheckpoint (same justification as q99)",
 }
 
 BNLJ_OK = {
