@@ -167,10 +167,11 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY e.vec_id, e.label
     ), scored AS (
         SELECT vec_id, label,
-               ROUND(dot / (nx * nc) + 1e-9, 6) AS cos,
+               ROUND(dot / NULLIF(nx * nc, 0) + 1e-9, 6) AS cos,
                ROW_NUMBER() OVER (
                    PARTITION BY label
-                   ORDER BY ROUND(dot / (nx * nc) + 1e-9, 6) DESC, vec_id
+                   ORDER BY ROUND(dot / NULLIF(nx * nc, 0) + 1e-9, 6)
+                       DESC NULLS LAST, vec_id
                ) AS rn
         FROM per_vec
     )
@@ -214,15 +215,19 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"),
         )
     )
+    # try_divide: an all-zero vector (norm 0) yields NULL cosine on both
+    # engines (oracle mirrors with NULLIF) instead of an ANSI error
     cos = stable_round(
-        F.col("dot") / (F.col("nx") * F.col("nc")), 6
+        F.try_divide(F.col("dot"), F.col("nx") * F.col("nc")), 6
     )
     scored = per_vec.select(
         "vec_id", "label", cos.alias("cos")
     ).withColumn(
         "rn",
         F.row_number().over(
-            W.partitionBy("label").orderBy(F.desc("cos"), F.asc("vec_id"))
+            W.partitionBy("label").orderBy(
+                F.desc_nulls_last("cos"), F.asc("vec_id")
+            )
         ),
     )
     return scored.groupBy("label").agg(
@@ -441,8 +446,9 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), binned AS (
         SELECT CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
                     THEN 'a' ELSE 'b' END AS period,
-               CAST(least(9, floor((value - mn) / ((mx - mn) / 10.0)))
-                    AS BIGINT) AS bin
+               CAST(CASE WHEN mx > mn
+                         THEN least(9, floor((value - mn) / ((mx - mn) / 10.0)))
+                         ELSE 0 END AS BIGINT) AS bin
         FROM events, stats
     ), grid AS (
         SELECT p.period, r.i AS bin
@@ -491,10 +497,20 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("ts").cast("date") <= F.lit("2024-01-15").cast("date"), "a")
         .otherwise("b")
         .alias("period"),
-        F.least(
-            F.lit(9),
-            F.floor((F.col("value") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 10.0)),
+        # degenerate guard: a constant column (mx == mn) puts all mass in
+        # bin 0 on BOTH engines (ANSI Spark would raise on the /0; DuckDB
+        # would yield NULL bins — either way the engines diverge unguarded)
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(9),
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / 10.0)
+                ),
+            ),
         )
+        .otherwise(0)
         .cast("long")
         .alias("bin"),
     )

@@ -135,6 +135,9 @@ def windowed_bin_counts(
     counts leave the stream (chaining a second stateful aggregation
     inside the stream buys nothing — the count table is already
     windows x bins tiny)."""
+    if mx <= mn:
+        # degenerate baseline (constant column): everything is bin 0
+        mx = mn + float(n_bins)
     width = (mx - mn) / float(n_bins)
     # clamp BOTH ends: live data can drift outside the historical
     # baseline's [mn, mx] in either direction — values below mn pile into
