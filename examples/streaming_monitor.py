@@ -41,7 +41,7 @@ def main() -> None:
     # batch side: baseline value distribution (the q150 convention)
     ev = load_table(spark, sf_dir, "events")
     mn, mx = ev.agg(F.min("value"), F.max("value")).first()
-    width = (mx - mn) / 10.0
+    width = (mx - mn) / 10.0 if mx > mn else float("inf")  # constant column -> all bin 0
     bins = ev.select(
         F.least(F.lit(9), F.floor((F.col("value") - mn) / width))
         .cast("long")

@@ -304,8 +304,10 @@ def _u16_sql(col: str = "text") -> str:
 )
 def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # (u, token) only — no doc_id: nothing downstream uses it, and the
+    # persisted exploded table is token-instance-grain, so every pruned
+    # byte is corpus-scale
     tok = docs.select(
-        "doc_id",
         _u16_spark().alias("u"),
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
     )

@@ -12,15 +12,17 @@ State per user (bounded by the pattern deadline, watermark-style):
 - ``pv``: view timestamps awaiting their first click;
 - ``ppv``/``ppc``: parallel arrays of (view_ts, click_ts) partial
   matches awaiting their first purchase.
-A click at time c closes EVERY pending view with view_ts < c (each view
-matches its first following click); a purchase at p closes every pending
-pair with click_ts < p.  Completions violating the deadline are dropped,
+A click closes EVERY pending view (pending entries are from earlier
+rows, so this click is each one's first-following click — row order,
+equal timestamps included); a purchase closes every pending pair the
+same way.  Completions violating the deadline are dropped,
 and pending entries whose deadline passed the key's max seen event time
 are pruned — state never grows beyond one deadline-window of views.
 
-Ordering contract: events must arrive in event-time order per key across
-micro-batches (a replayed durable log — sources.stage_event_stream —
-delivers this).  Out-of-order arrival needs a watermark buffer in front;
+Ordering contract: events must arrive in (ts_ns, event_id) order per
+key across micro-batches (sources.stage_event_stream buckets and sorts
+on exactly that key pair, so equal-timestamp ties never split across
+files in inverted order).  Out-of-order arrival needs a watermark buffer in front;
 within a micro-batch the runner sorts the whole batch (chunks are
 concatenated first — applyInPandasWithState splits large groups).
 """

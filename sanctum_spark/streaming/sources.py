@@ -43,9 +43,12 @@ def stage_event_stream(
 
     ev = load_table(spark, sf_dir, "events")
     (
-        ev.withColumn("_bucket", F.ntile(n_files).over(W.orderBy("ts_ns")))
+        ev.withColumn(
+            "_bucket",
+            F.ntile(n_files).over(W.orderBy("ts_ns", "event_id")),
+        )
         .repartitionByRange(n_files, "_bucket")
-        .sortWithinPartitions("ts_ns")
+        .sortWithinPartitions("ts_ns", "event_id")
         .drop("_bucket")
         .write.mode("overwrite")
         .parquet(stage_dir)

@@ -135,10 +135,9 @@ def windowed_bin_counts(
     counts leave the stream (chaining a second stateful aggregation
     inside the stream buys nothing — the count table is already
     windows x bins tiny)."""
-    if mx <= mn:
-        # degenerate baseline (constant column): everything is bin 0
-        mx = mn + float(n_bins)
-    width = (mx - mn) / float(n_bins)
+    # degenerate baseline (constant column): infinite width puts ALL
+    # values in bin 0, exactly the q150 batch convention
+    width = (mx - mn) / float(n_bins) if mx > mn else float("inf")
     # clamp BOTH ends: live data can drift outside the historical
     # baseline's [mn, mx] in either direction — values below mn pile into
     # bin 0 and above mx into bin n-1, so out-of-range drift inflates the

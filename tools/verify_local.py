@@ -104,7 +104,9 @@ def main() -> None:
               f"rows={rec.get('spark_rows')}"
               + (f" err={rec['err'][:200]}" if rec["err"] else ""))
 
-    out = os.path.join(REPO, "tools", "verify_local_out.json")
+    # subset runs must not clobber the canonical full-registry evidence
+    suffix = "_partial" if only else ""
+    out = os.path.join(REPO, "tools", f"verify_local_out{suffix}.json")
     with open(out, "w") as fh:
         json.dump(results, fh, indent=1, sort_keys=True)
     n_fail = sum(
