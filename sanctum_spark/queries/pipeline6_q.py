@@ -1086,3 +1086,85 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("keeper_doc_id"),
         F.col("p").alias("keeper_quality"),
     )
+
+
+@register(
+    "q159_leakage_free_split",
+    f"""
+    WITH assigned AS (
+        SELECT doc_id, text,
+               CASE WHEN {_u16_sql()} < 6554 THEN 'test' ELSE 'train' END
+                   AS cand
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, cand,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 4, 0)),
+                   i -> array_to_string(toks[i:i+4], ' ')))) AS shingle
+        FROM (SELECT doc_id, cand,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM assigned)
+        WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 5
+    ), train_sh AS (
+        SELECT DISTINCT shingle FROM sh WHERE cand = 'train'
+    ), leaky AS (
+        SELECT DISTINCT s.doc_id
+        FROM sh s JOIN train_sh t USING (shingle)
+        WHERE s.cand = 'test'
+    )
+    SELECT a.doc_id,
+           CASE WHEN a.cand = 'train' THEN 'train'
+                WHEN l.doc_id IS NOT NULL THEN 'dropped'
+                ELSE 'test' END AS split
+    FROM assigned a LEFT JOIN leaky l USING (doc_id)
+    """,
+    doc=(
+        "leakage-free held-out split: a deterministic ~10% md5 sample "
+        "becomes test CANDIDATES, and any candidate sharing even one "
+        "distinct 5-gram shingle with the training split is DROPPED "
+        "(not quietly kept) — q104 decontaminates against an external "
+        "benchmark, this constructs an internal eval split whose n-gram "
+        "leakage is zero by construction, the difference between "
+        "measuring generalization and measuring memorization. Scale "
+        "shape: one corpus shingle pass; the leak check is a distinct-"
+        "shingle equi-join (hashes JVM-side, strings in the oracle — "
+        "the q142 hash-fidelity evidence pattern) shipping (shingle, "
+        "doc) pairs for the 10%% candidate side only; output is one row "
+        "per document."
+    ),
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "doc_id",
+        "text",
+        F.when(_u16_spark() < 6554, "test").otherwise("train").alias("cand"),
+    )
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    n_windows = F.size(toks) - 4
+    windows = F.when(
+        F.size(toks) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda i: F.xxhash64(F.array_join(F.slice(toks, i, 5), " ")),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sh = assigned.select(
+        "doc_id", "cand", F.explode(windows).alias("shingle")
+    )
+    train_sh = sh.filter(F.col("cand") == "train").select("shingle").distinct()
+    leaky = (
+        sh.filter(F.col("cand") == "test")
+        .join(train_sh, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return assigned.join(leaky.withColumn("_leak", F.lit(1)), "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("cand") == "train", "train")
+        .when(F.col("_leak").isNotNull(), "dropped")
+        .otherwise("test")
+        .alias("split"),
+    )

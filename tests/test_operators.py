@@ -1306,3 +1306,45 @@ def test_order_sensitive_queries_are_run_deterministic(spark, sf_dir):
         a = sorted(map(tuple, fn(spark, sf_dir).collect()))
         b = sorted(map(tuple, fn(spark, sf_dir).collect()))
         assert a == b, name
+
+
+def test_q159_split_has_zero_leakage(spark, sf_dir):
+    """Post-condition, checked independently of the query's own logic:
+    no surviving test document shares ANY distinct 5-gram with any train
+    document, and every dropped candidate does share one."""
+    from pyspark.sql import functions as F
+
+    import sanctum_spark.queries as qreg
+    from sanctum_spark.io import load_table
+
+    qreg.load_all_modules()
+    split = qreg.REGISTRY["q159_leakage_free_split"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").join(split, "doc_id")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    sh = docs.filter(F.size(toks) >= 5).select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 4),
+                    lambda i: F.array_join(F.slice(toks, i, 5), " "),
+                )
+            )
+        ).alias("g"),
+    )
+    train_g = sh.filter(F.col("split") == "train").select("g").distinct()
+    test_overlap = (
+        sh.filter(F.col("split") == "test")
+        .join(train_g, "g", "left_semi")
+        .count()
+    )
+    assert test_overlap == 0
+    dropped = sh.filter(F.col("split") == "dropped").select("doc_id").distinct()
+    dropped_with_overlap = (
+        sh.filter(F.col("split") == "dropped")
+        .join(train_g, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    assert dropped.count() == dropped_with_overlap.count() > 0
