@@ -1168,3 +1168,59 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@register(
+    "q160_corpus_datasheet",
+    """
+    WITH t AS (
+        SELECT doc_id, lang, source, text, n_chars,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               md5(text) AS digest
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           ROUND(1.0 - COUNT(DISTINCT digest) * 1.0 / COUNT(*) + 1e-9, 6)
+               AS exact_dup_rate,
+           CAST(quantile_cont(n_tokens, 0.5) AS BIGINT) AS p50_tokens,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM t
+    """,
+    doc=(
+        "corpus datasheet (the Datasheets-for-Datasets one-row summary a "
+        "release ships with): document and token volume, language and "
+        "source cardinality, exact-duplicate rate (1 - distinct digests /"
+        " docs), median document length, char-length extremes. Scale "
+        "shape: ONE pass, one aggregate — the distinct counts are the "
+        "only expand, and at 100 TB each swaps for approx_count_distinct "
+        "with identical downstream shape (q98 is the sketch-accuracy "
+        "harness). A registered query so the datasheet regenerates from "
+        "the live corpus, never from stale release notes."
+    ),
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    t = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        F.md5("text").alias("digest"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        stable_round(
+            1.0 - F.countDistinct("digest") / F.count(F.lit(1)), 6
+        ).alias("exact_dup_rate"),
+        F.percentile("n_tokens", F.lit(0.5)).cast("long").alias("p50_tokens"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
