@@ -60,17 +60,40 @@ def _with_bucket_index(
     ``F.get`` so the search simply doesn't advance.  Null values land in
     bucket 0.
     """
-    arr = F.array(*[F.lit(float(b)) for b in bounds])
-    n = len(bounds)
+    # The search runs over DISTINCT bounds, then maps the result through a
+    # precomputed cumulative-count array — value-identical to searching
+    # the raw duplicated list (duplicate cuts mean many quantile probes
+    # share a value; the count jump IS the population weight and must be
+    # preserved for the z-scale), but:
+    #   - low-cardinality columns get log2(#distinct) steps, not log2(1023);
+    #   - a CONSTANT (foldable) input column collapses to ONE step — the
+    #     optimizer used to inline the then-foldable 10-step chain
+    #     exponentially (observed: a lit() column hung planning for
+    #     minutes; one step is instant).
+    if not bounds:  # all-null column: approxQuantile returns no cuts
+        return df.withColumn(out_name, F.lit(0))
+    import bisect
+
+    distinct: list[float] = sorted(set(bounds))
+    sorted_bounds = sorted(bounds)
+    # counts[i] = how many ORIGINAL bounds are <= distinct[i]
+    counts = [bisect.bisect_right(sorted_bounds, d) for d in distinct]
+    arr = F.array(*[F.lit(float(b)) for b in distinct])
+    cnt_arr = F.array(*[F.lit(int(c)) for c in counts])
+    n = len(distinct)
     df = df.withColumn(out_name, F.lit(0))
     step = 1 << (n.bit_length() - 1)  # largest power of two <= n
     while step >= 1:
         cand = F.col(out_name) + F.lit(step)
-        # advance iff cand <= n and bounds[cand-1] <= v  (F.get is 0-based)
+        # advance iff cand <= n and distinct[cand-1] <= v (F.get is 0-based)
         ok = (cand <= F.lit(n)) & (F.get(arr, cand - 1) <= v)
         df = df.withColumn(out_name, F.when(ok, cand).otherwise(F.col(out_name)))
         step //= 2
-    return df
+    # map "count of distinct bounds <= v" to "count of original bounds <= v"
+    k = F.col(out_name)
+    return df.withColumn(
+        out_name, F.when(k > 0, F.get(cnt_arr, k - 1)).otherwise(F.lit(0))
+    )
 
 
 def zorder_by(

@@ -1348,3 +1348,31 @@ def test_q159_split_has_zero_leakage(spark, sf_dir):
         .distinct()
     )
     assert dropped.count() == dropped_with_overlap.count() > 0
+
+
+def test_zorder_degenerate_columns_fast(spark):
+    """Constant and all-null clustered columns must not blow up the
+    optimizer (a foldable column used to inline the bucket-search step
+    chain exponentially — minutes of planning for 1000 rows) and must
+    still produce a valid layout."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from sanctum_spark.operators.layout import zorder_by
+
+    df = (
+        spark.range(1000)
+        .withColumn("a", F.lit(7).cast("long"))
+        .withColumn("b", (F.col("id") * 13) % 97)
+    )
+    t0 = time.time()
+    assert zorder_by(df, ["a", "b"], n_partitions=4).count() == 1000
+    assert time.time() - t0 < 60, "constant-column planning blew up"
+
+    df2 = (
+        spark.range(200)
+        .withColumn("a", F.lit(None).cast("long"))
+        .withColumn("b", F.col("id"))
+    )
+    assert zorder_by(df2, ["a", "b"], n_partitions=2).count() == 200
