@@ -31,7 +31,9 @@ def _as_double(col: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    # try_divide: a zero-norm vector yields NULL similarity (sorted last
+    # by every top-k path) instead of an ANSI DIVIDE_BY_ZERO crash
+    return F.try_divide(_dot(a, b), F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
 def cosine_topk(
@@ -225,7 +227,9 @@ def embedding_near_duplicates(
     vb = vecs.select(
         F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
     )
-    sim = _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    sim = F.try_divide(
+        _dot(F.col("vec_a"), F.col("vec_b")), F.col("nrm_a") * F.col("nrm_b")
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")

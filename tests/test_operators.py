@@ -1376,3 +1376,17 @@ def test_zorder_degenerate_columns_fast(spark):
         .withColumn("b", F.col("id"))
     )
     assert zorder_by(df2, ["a", "b"], n_partitions=2).count() == 200
+
+
+def test_cosine_zero_vector_yields_null_not_crash(spark):
+    """A zero-norm corpus vector must rank last as NULL similarity, not
+    raise ANSI DIVIDE_BY_ZERO (found by the degenerate-input battery)."""
+    from sanctum_spark.operators.similarity import cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], 0), (2, [1.0, 0.0], 0)],
+        ["vec_id", "embedding", "label"],
+    )
+    rows = cosine_topk(df, [1.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in rows] == [2, 1]
+    assert rows[1]["cos_sim"] is None
