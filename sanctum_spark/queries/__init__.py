@@ -65,6 +65,7 @@ def load_all_modules() -> None:
         pipeline4_q,
         pipeline5_q,
         pipeline6_q,
+        pipeline7_q,
     )
 
 
@@ -133,11 +134,20 @@ VERIFY_FIRST: list[str] = [
     "q145_mad_outliers",
     "q146_embedding_clusters",
     "q147_heavy_hitters",
+    # --- 1b continued: q159/q160 landed after the last evidence refresh
+    # and have no external row at all; they outrank re-verifies of
+    # operators that did NOT change this round (quality_score — q72/q76's
+    # expression — is untouched since r3; both carry green r03 rows) ---
+    "q159_leakage_free_split",
+    "q160_corpus_datasheet",
+    # --- 1b continued: q161 (entity resolution — new record-linkage
+    # family, session-close) replaces the q71 re-verify: q71 carries a
+    # green r03 row and its text_profile change was signature-only,
+    # while q161 has no external row at all.  q162 (BM25) rotates in
+    # next round with q149-q151/q153-q156. ---
+    "q161_entity_resolution",
     # --- 2. shared operator changed this round ---
     "q88_user_correlation",  # rewritten: per-user top-k bound
-    "q71_text_stats",
-    "q72_lang_quality",
-    "q76_quality_profile",
     # (q67/q68 dropped from the front when q148/q152 landed: their io.py
     # concern was the r3 ts re-derivation, which q60-q62/q66/q69 and the
     # new events-table queries q148/q149/q152 evidence more directly —

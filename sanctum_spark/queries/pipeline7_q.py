@@ -1,0 +1,230 @@
+"""Pipeline queries, batch 7 (round 4, close): record linkage and
+text retrieval — two capability families the registry did not yet carry
+as first-class, oracle-paired entries.
+
+- q161: entity resolution over the ``part`` catalog — the classic
+  blocking → candidate matching → transitive clustering pipeline
+  (Fellegi-Sunter shape, deterministic match rule).  Reuses the dedup
+  machinery (``connected_components``) on structured records instead of
+  document shingles.
+- q162: BM25 top-k retrieval over ``documents`` — the lexical relevance
+  scorer (Robertson/Spärck Jones) that data-selection pipelines use to
+  pull topic-relevant subsets out of a web corpus before training.
+
+Both carry full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sanctum_spark.io import load_table
+from sanctum_spark.queries import register
+from sanctum_spark.queries.util import stable_round
+
+# BM25 hyperparameters (the standard Okapi defaults) and the fixed query.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "shuffle", "partition")
+BM25_TOPK = 10
+
+
+@register(
+    "q161_entity_resolution",
+    """
+    WITH RECURSIVE recs AS (
+        SELECT p_partkey AS id, p_name AS name, p_brand AS brand,
+               p_type AS kind
+        FROM part
+    ),
+    prs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM recs a JOIN recs b
+          ON a.brand = b.brand AND a.kind = b.kind AND a.id < b.id
+         AND abs(length(a.name) - length(b.name)) <= 1
+         AND levenshtein(a.name, b.name) <= 1
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM prs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM prs
+    ),
+    reach(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id, MIN(label) AS comp_id FROM reach GROUP BY id),
+    labeled AS (
+        SELECT r.id, r.name, COALESCE(c.comp_id, r.id) AS entity_id
+        FROM recs r LEFT JOIN comp c USING (id)
+    )
+    SELECT entity_id,
+           COUNT(*) AS n_records,
+           COUNT(DISTINCT name) AS n_names,
+           MIN(name) AS canonical_name
+    FROM labeled GROUP BY entity_id
+    """,
+    doc=(
+        "entity resolution (record linkage) over the part catalog: "
+        "records are the same entity when they share brand and type and "
+        "their names are within Levenshtein distance 1 (typo/variant "
+        "tolerance; the sf0.01 catalog really contains cold/old name "
+        "variants).  Pipeline: BLOCK on the exact (brand, type) keys — "
+        "candidate pairs only ever form inside a block, so the fuzzy "
+        "predicate never sees the cross product — then a cheap "
+        "length-delta pre-filter, then JVM levenshtein on survivors, "
+        "then transitive closure via the shared connected-components "
+        "operator (A~B, B~C must land in one entity), then one grouped "
+        "aggregate per entity.  Scale shape: the block self-join "
+        "shuffles (brand, type, id, name) once on the block key; "
+        "within-block work is quadratic in BLOCK size, never corpus "
+        "size — at 100 TB the block key must keep per-block cardinality "
+        "bounded (add a secondary key, e.g. a name-prefix bucket, when "
+        "a block outgrows ~10^4 records; the salted-join helper covers "
+        "the skewed-block case).  Components: one (node, label) shuffle "
+        "per round, diameter-bounded."
+    ),
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.operators.dedup import connected_components
+
+    recs, pairs = _q161_pairs(spark, sf_dir)
+    comp = connected_components(pairs, "id_a", "id_b").select(
+        F.col("id"), F.col("component")
+    )
+    labeled = recs.join(comp, "id", "left").select(
+        F.coalesce(F.col("component"), F.col("id")).alias("entity_id"),
+        "name",
+    )
+    return labeled.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.countDistinct("name").alias("n_names"),
+        F.min("name").alias("canonical_name"),
+    )
+
+
+def _q161_pairs(spark: SparkSession, sf_dir: str):
+    """Pre-clustering candidate-pair stage; separate so the plan pin can
+    inspect the blocked equi-join shape (connected_components eagerly
+    checkpoints, which truncates the executed plan to a Scan ExistingRDD).
+    """
+    recs = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("kind"),
+    )
+    a, b = recs.alias("a"), recs.alias("b")
+    # Equi-join on the block key (brand, kind); the length-delta and
+    # edit-distance predicates run as post-join filters on in-block
+    # candidates only.  The length filter is ~free and prunes most
+    # candidates before levenshtein's O(len^2) DP.
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.brand") == F.col("b.brand"),
+            F.col("a.kind") == F.col("b.kind"),
+            F.col("a.id") < F.col("b.id"),
+            F.abs(F.length("a.name") - F.length("b.name")) <= 1,
+            F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1,
+        ],
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    return recs, pairs
+
+
+@register(
+    "q162_bm25_topk",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term,
+               len(string_split_regex(trim(lower(text)), '\\s+')) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n,
+               AVG(len(string_split_regex(trim(lower(text)), '\\s+')))
+                   AS avgdl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+        FROM t
+        WHERE term IN ('spark', 'shuffle', 'partition')
+        GROUP BY doc_id, term
+    ),
+    idf AS (
+        SELECT term,
+               ln((s.n - COUNT(DISTINCT doc_id) + 0.5)
+                  / (COUNT(DISTINCT doc_id) + 0.5) + 1.0) AS idf
+        FROM tf, stats s GROUP BY term, s.n
+    )
+    SELECT tf.doc_id,
+           ROUND(SUM(idf.idf * tf.tf * ({BM25_K1} + 1.0)
+                     / (tf.tf + {BM25_K1}
+                        * (1.0 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl)))
+                 + 1e-9, 6) AS bm25
+    FROM tf JOIN idf USING (term), stats s
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id LIMIT {BM25_TOPK}
+    """,
+    doc=(
+        "BM25 top-k lexical retrieval (Okapi k1=1.2, b=0.75) for a fixed "
+        "3-term query over the documents corpus — the relevance scorer "
+        "data-selection pipelines run to pull topic-relevant training "
+        "subsets.  Scale shape: the corpus is tokenized ONCE; tokens are "
+        "filtered to the query terms BEFORE any shuffle, so the per-"
+        "(doc, term) aggregate sees |terms| * matching-docs rows, never "
+        "the corpus vocabulary.  Corpus stats (N, avgdl) and the per-term "
+        "document frequencies are tiny aggregates broadcast back; the "
+        "final top-k is a TakeOrderedAndProject (no global sort).  Ranking "
+        "uses the ROUNDED score with a doc_id tie-break so the cut line "
+        "is reproducible across engines."
+    ),
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    base = docs.select(
+        "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+    ).filter(F.col("term").isin(*BM25_TERMS))
+    tf = base.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    stats = docs.select(F.size(toks).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    # per-term df: tf is already (doc, term)-unique, so a plain count.
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(stats.select("n")))
+        .select(
+            "term",
+            F.log(
+                (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ).alias("idf"),
+        )
+    )
+    k1, b_ = F.lit(BM25_K1), F.lit(BM25_B)
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(F.broadcast(stats.select("avgdl")))
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * F.col("tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + k1 * (F.lit(1.0) - b_ + b_ * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part_score"),
+        )
+        .groupBy("doc_id")
+        .agg(stable_round(F.sum("part_score"), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOPK)

@@ -48,6 +48,7 @@ EXISTING_RDD_OK = {
     "q147_heavy_hitters": "eager localCheckpoint of the (heavy-token, cnt) result to release the persisted token table",
     "q150_psi_drift": "2-row period literal frame",
     "q158_quality_keeper": "inherits connected_components' iterative localCheckpoint (same justification as q99)",
+    "q161_entity_resolution": "inherits connected_components' iterative localCheckpoint (same justification as q99)",
 }
 
 BNLJ_OK = {
@@ -64,6 +65,7 @@ BNLJ_OK = {
     "q150_psi_drift": "single-row min/max stats + 2x10 literal grid",
     "q151_chi2_independence": "single-row N scalar",
     "q154_benford_digits": "single-row digit-total scalar",
+    "q162_bm25_topk": "single-row corpus stats (N, avgdl) build sides",
 }
 
 PY_NODES = (

@@ -471,3 +471,34 @@ def test_q155_reservoir_uses_group_limit(spark, sf_dir):
     full per-group sort of the corpus."""
     plan = plan_of(spark, sf_dir, "q155_weighted_reservoir")
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_q161_er_blocked_equi_join(spark, sf_dir):
+    """Entity resolution must candidate-pair via an EQUI join on the
+    (brand, kind) block key — a BroadcastNestedLoopJoin or cartesian on
+    the record table means blocking regressed to all-pairs Levenshtein.
+    Inspect the pre-clustering stage: connected_components' eager
+    checkpoint truncates the registered query's plan."""
+    from sanctum_spark.queries.pipeline7_q import _q161_pairs
+
+    _, pairs = _q161_pairs(spark, sf_dir)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan.lower()
+    # the block key must be the join's equi keys (hash/sort-merge join
+    # keyed on brand+kind), keeping the fuzzy predicate in-block only
+    assert "Join" in plan, plan
+
+
+def test_q162_bm25_topk_plan(spark, sf_dir):
+    """BM25 must (a) cut the token stream to the query terms scan-side
+    (a Filter with the term list below the Generate/explode, before any
+    Exchange) and (b) take the final top-k via TakeOrderedAndProject,
+    never a global Sort."""
+    plan = plan_of(spark, sf_dir, "q162_bm25_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    gen = plan.find("Generate explode")
+    assert gen != -1, plan
+    filt = plan.find("spark", gen)  # the term literal list after explode
+    assert filt != -1, plan
