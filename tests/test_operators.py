@@ -1390,3 +1390,115 @@ def test_cosine_zero_vector_yields_null_not_crash(spark):
     rows = cosine_topk(df, [1.0, 0.0], k=2).collect()
     assert [r["vec_id"] for r in rows] == [2, 1]
     assert rows[1]["cos_sim"] is None
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_q161_er_matches_bruteforce_union_find(spark, sf_dir):
+    """Independent model check (stronger than the DuckDB oracle, which
+    shares the blocking scheme): brute-force ALL-PAIRS Levenshtein with
+    no blocking at all, cluster with a pure-Python union-find, and
+    require the distributed blocked pipeline to produce the identical
+    entity partition.  Any pair the (brand, type) blocking wrongly
+    skipped, or the length-delta prefilter wrongly pruned, shows up here
+    as a split cluster."""
+    import sanctum_spark.queries as qreg
+
+    qreg.load_all_modules()
+    recs = [
+        (r["p_partkey"], r["p_name"], r["p_brand"], r["p_type"])
+        for r in spark.read.parquet(f"{sf_dir}/part.parquet").collect()
+    ]
+    parent = {rid: rid for rid, *_ in recs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(recs)):
+        for j in range(i + 1, len(recs)):
+            ia, na, ba, ka = recs[i]
+            ib, nb, bb, kb = recs[j]
+            if ba == bb and ka == kb and _levenshtein(na, nb) <= 1:
+                ra, rb = find(ia), find(ib)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    names = {rid: name for rid, name, *_ in recs}
+    for rid, *_ in recs:
+        want.setdefault(find(rid), []).append(rid)
+    want_rows = {
+        min(members): (
+            len(members),
+            len({names[m] for m in members}),
+            min(names[m] for m in members),
+        )
+        for members in want.values()
+    }
+    got = {
+        r["entity_id"]: (r["n_records"], r["n_names"], r["canonical_name"])
+        for r in qreg.REGISTRY["q161_entity_resolution"].fn(spark, sf_dir).collect()
+    }
+    assert got == want_rows
+
+
+def test_q162_bm25_matches_pure_python(spark, sf_dir):
+    """Independent model check: Okapi BM25 computed driver-side with
+    plain Python floats over the same corpus must reproduce the
+    distributed top-k exactly (doc ids AND rounded scores)."""
+    import math
+
+    import sanctum_spark.queries as qreg
+    from sanctum_spark.queries.pipeline7_q import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        BM25_TOPK,
+    )
+
+    qreg.load_all_modules()
+    docs = [
+        (r["doc_id"], r["text"].strip().lower().split())
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ]
+    n = len(docs)
+    avgdl = sum(len(t) for _, t in docs) / n
+    df_t = {
+        term: sum(1 for _, toks in docs if term in toks) for term in BM25_TERMS
+    }
+    idf = {
+        t: math.log((n - d + 0.5) / (d + 0.5) + 1.0)
+        for t, d in df_t.items()
+        if d
+    }
+    scores = []
+    for doc_id, toks in docs:
+        s = 0.0
+        for term, term_idf in idf.items():
+            tf = toks.count(term)
+            if tf:
+                s += (
+                    term_idf
+                    * tf
+                    * (BM25_K1 + 1.0)
+                    / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(toks) / avgdl))
+                )
+        if s > 0.0:
+            scores.append((doc_id, round(s + 1e-9, 6)))
+    want = sorted(scores, key=lambda x: (-x[1], x[0]))[:BM25_TOPK]
+    got = [
+        (r["doc_id"], r["bm25"])
+        for r in qreg.REGISTRY["q162_bm25_topk"].fn(spark, sf_dir).collect()
+    ]
+    assert got == want
