@@ -1404,13 +1404,15 @@ def _levenshtein(a: str, b: str) -> int:
 
 
 def test_q161_er_matches_bruteforce_union_find(spark, sf_dir):
-    """Independent model check (stronger than the DuckDB oracle, which
-    shares the blocking scheme): brute-force ALL-PAIRS Levenshtein with
-    no blocking at all, cluster with a pure-Python union-find, and
-    require the distributed blocked pipeline to produce the identical
-    entity partition.  Any pair the (brand, type) blocking wrongly
-    skipped, or the length-delta prefilter wrongly pruned, shows up here
-    as a split cluster."""
+    """Independent model check: enumerate ALL record pairs (no join, no
+    blocking structure — the brand/type equality is applied per pair as
+    part of the MATCH PREDICATE) with a from-scratch Levenshtein, cluster
+    with a pure-Python union-find, and require the distributed blocked
+    pipeline to produce the identical entity partition.  Independently
+    verifies the length-delta prefilter (the model applies none), the
+    pair join, and the transitive closure; the blocking KEY itself is
+    part of the match definition, so both sides share it by design.
+    O(n^2) pure-Python — guarded to small fixture scales."""
     import sanctum_spark.queries as qreg
 
     qreg.load_all_modules()
@@ -1418,6 +1420,10 @@ def test_q161_er_matches_bruteforce_union_find(spark, sf_dir):
         (r["p_partkey"], r["p_name"], r["p_brand"], r["p_type"])
         for r in spark.read.parquet(f"{sf_dir}/part.parquet").collect()
     ]
+    if len(recs) > 3000:  # pragma: no cover - sf0.001/sf0.01 fixture scales
+        import pytest
+
+        pytest.skip(f"O(n^2) model check not meant for {len(recs)} records")
     parent = {rid: rid for rid, *_ in recs}
 
     def find(x):
@@ -1468,9 +1474,15 @@ def test_q162_bm25_matches_pure_python(spark, sf_dir):
     )
 
     qreg.load_all_modules()
+    # tokenize exactly like both engines: trim + lower + regex \s+ split
+    # (str.split() would diverge on empty/whitespace-only docs: regex
+    # split of '' yields [''] -> dl=1, matching size(split(trim(''))))
+    import re
+
     docs = [
-        (r["doc_id"], r["text"].strip().lower().split())
+        (r["doc_id"], re.split(r"\s+", r["text"].strip().lower()))
         for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        if r["text"] is not None
     ]
     n = len(docs)
     avgdl = sum(len(t) for _, t in docs) / n

@@ -49,6 +49,7 @@ EXISTING_RDD_OK = {
     "q150_psi_drift": "2-row period literal frame",
     "q158_quality_keeper": "inherits connected_components' iterative localCheckpoint (same justification as q99)",
     "q161_entity_resolution": "inherits connected_components' iterative localCheckpoint (same justification as q99)",
+    "q162_bm25_topk": "eager localCheckpoint of the k-row top-k result to release the persisted tf table (q142 pattern)",
 }
 
 BNLJ_OK = {

@@ -492,13 +492,38 @@ def test_q161_er_blocked_equi_join(spark, sf_dir):
 
 
 def test_q162_bm25_topk_plan(spark, sf_dir):
-    """BM25 must (a) cut the token stream to the query terms scan-side
-    (a Filter with the term list below the Generate/explode, before any
-    Exchange) and (b) take the final top-k via TakeOrderedAndProject,
-    never a global Sort."""
-    plan = plan_of(spark, sf_dir, "q162_bm25_topk")
-    assert "TakeOrderedAndProject" in plan, plan
-    gen = plan.find("Generate explode")
-    assert gen != -1, plan
-    filt = plan.find("spark", gen)  # the term literal list after explode
-    assert filt != -1, plan
+    """BM25 must (a) tokenize the corpus exactly ONCE (one Generate
+    explode in the whole build — the lazy two-branch form re-ran it),
+    (b) cut the token stream to the query terms before the (doc, term)
+    shuffle (the Filter with the term literals sits BETWEEN the first
+    Exchange and the Generate in the printed tree — parents print above
+    children), and (c) take the final top-k via TakeOrderedAndProject,
+    never a global Sort.  Inspect the pre-checkpoint build: the
+    registered fn's eager checkpoint truncates the executed plan."""
+    from pyspark.sql import functions as F
+
+    from sanctum_spark.queries.pipeline7_q import BM25_TOPK, _q162_build
+
+    scored, tf = _q162_build(spark, sf_dir)
+    try:
+        topk = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOPK)
+        plan = topk._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan
+        # the tokenize/explode must live ONLY inside the persisted tf
+        # subtree (InMemoryRelation = evaluated once, even though plan
+        # printing repeats the cached subtree under every table scan)
+        imr = plan.find("InMemoryRelation")
+        gen = plan.find("Generate explode")
+        assert imr != -1 and gen != -1 and imr < gen, (imr, gen, plan)
+        assert plan.count("InMemoryTableScan") >= 2, plan  # both branches reuse it
+        # term filter sits between the (doc,term) Exchange and the
+        # explode: scan-side, before any shuffle
+        sub = plan[imr:]
+        ex = sub.find("Exchange hashpartitioning(doc_id")
+        filt = sub.find("Filter term")
+        gen2 = sub.find("Generate explode")
+        assert ex != -1 and filt != -1 and gen2 != -1, plan
+        assert ex < filt < gen2, (ex, filt, gen2, plan)
+        assert "spark" in sub[filt:gen2], sub[filt:gen2]
+    finally:
+        tf.unpersist()
