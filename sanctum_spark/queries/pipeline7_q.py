@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 from sanctum_spark.io import load_table
 from sanctum_spark.queries import register
-from sanctum_spark.queries.util import stable_round
 
 # BM25 hyperparameters (the standard Okapi defaults) and the fixed query.
 BM25_K1 = 1.2
@@ -88,15 +87,11 @@ BM25_TOPK = 10
     ),
 )
 def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sanctum_spark.operators.dedup import connected_components
+    from sanctum_spark.operators.linkage import resolve_entities
 
-    recs, pairs = _q161_pairs(spark, sf_dir)
-    comp = connected_components(pairs, "id_a", "id_b").select(
-        F.col("id"), F.col("component")
-    )
-    labeled = recs.join(comp, "id", "left").select(
-        F.coalesce(F.col("component"), F.col("id")).alias("entity_id"),
-        "name",
+    recs = _q161_records(spark, sf_dir)
+    labeled = resolve_entities(
+        recs, "id", block_cols=["brand", "kind"], fuzzy_col="name", max_dist=1
     )
     return labeled.groupBy("entity_id").agg(
         F.count(F.lit(1)).alias("n_records"),
@@ -105,33 +100,13 @@ def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q161_pairs(spark: SparkSession, sf_dir: str):
-    """Pre-clustering candidate-pair stage; separate so the plan pin can
-    inspect the blocked equi-join shape (connected_components eagerly
-    checkpoints, which truncates the executed plan to a Scan ExistingRDD).
-    """
-    recs = load_table(spark, sf_dir, "part").select(
+def _q161_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("id"),
         F.col("p_name").alias("name"),
         F.col("p_brand").alias("brand"),
         F.col("p_type").alias("kind"),
     )
-    a, b = recs.alias("a"), recs.alias("b")
-    # Equi-join on the block key (brand, kind); the length-delta and
-    # edit-distance predicates run as post-join filters on in-block
-    # candidates only.  The length filter is ~free and prunes most
-    # candidates before levenshtein's O(len^2) DP.
-    pairs = a.join(
-        b,
-        on=[
-            F.col("a.brand") == F.col("b.brand"),
-            F.col("a.kind") == F.col("b.kind"),
-            F.col("a.id") < F.col("b.id"),
-            F.abs(F.length("a.name") - F.length("b.name")) <= 1,
-            F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1,
-        ],
-    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    return recs, pairs
 
 
 @register(
@@ -188,60 +163,9 @@ def _q161_pairs(spark: SparkSession, sf_dir: str):
     ),
 )
 def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored, tf = _q162_build(spark, sf_dir)
-    out = (
-        scored.orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(BM25_TOPK)
-        .localCheckpoint(eager=True)  # k rows; lets tf release below
-    )
-    tf.unpersist()
-    return out
+    from sanctum_spark.operators.retrieval import bm25_topk
 
-
-def _q162_build(spark: SparkSession, sf_dir: str):
-    """Pre-checkpoint q162 pipeline; separate so the plan pin can assert
-    the scan-side term filter and single-explode shape (the registered
-    fn's eager checkpoint truncates the executed plan)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower("text")), r"\s+")
-    base = docs.select(
-        "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
-    ).filter(F.col("term").isin(*BM25_TERMS))
-    stats = docs.select(F.size(toks).alias("dl")).agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    return bm25_topk(
+        docs, BM25_TERMS, k=BM25_TOPK, k1=BM25_K1, b=BM25_B, round_to=6
     )
-    # (n, avgdl) ride along on the tf rows via ONE broadcast join, so
-    # neither downstream branch re-evaluates the stats aggregate.
-    tf = (
-        base.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-        .join(F.broadcast(stats))
-        .persist()
-    )
-    # per-term df: tf is already (doc, term)-unique, so a plain count.
-    idf = tf.groupBy("term").agg(
-        F.log(
-            (F.first("n") - F.count(F.lit(1)) + 0.5)
-            / (F.count(F.lit(1)) + 0.5)
-            + 1.0
-        ).alias("idf")
-    )
-    k1, b_ = F.lit(BM25_K1), F.lit(BM25_B)
-    scored = (
-        tf.join(F.broadcast(idf), "term")
-        .select(
-            "doc_id",
-            (
-                F.col("idf")
-                * F.col("tf")
-                * (k1 + 1.0)
-                / (
-                    F.col("tf")
-                    + k1 * (F.lit(1.0) - b_ + b_ * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("part_score"),
-        )
-        .groupBy("doc_id")
-        .agg(stable_round(F.sum("part_score"), 6).alias("bm25"))
-    )
-    return scored, tf

@@ -1514,3 +1514,74 @@ def test_q162_bm25_matches_pure_python(spark, sf_dir):
         for r in qreg.REGISTRY["q162_bm25_topk"].fn(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_resolve_entities_operator_small(spark):
+    """Operator-level linkage check on a hand-built frame: transitive
+    chain a~b~c collapses to one entity, cross-block lookalikes stay
+    separate, singleton maps to itself."""
+    from sanctum_spark.operators.linkage import resolve_entities
+
+    rows = [
+        # one block, chain: "cold gear" ~ "old gear" ~ "olde gear"
+        (1, "cold gear", "B1", "T1"),
+        (2, "old gear", "B1", "T1"),
+        (3, "olde gear", "B1", "T1"),
+        # same name, DIFFERENT block -> separate entity
+        (4, "cold gear", "B2", "T1"),
+        # singleton
+        (5, "red widget", "B1", "T1"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "brand", "kind"])
+    got = {
+        r["id"]: r["entity_id"]
+        for r in resolve_entities(
+            df, "id", ["brand", "kind"], "name", max_dist=1
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+
+
+def test_blocked_candidate_pairs_prefix_recall_trade(spark):
+    """prefix_len secondary blocking drops pairs whose single edit falls
+    inside the prefix - the documented recall trade, pinned so the
+    semantics never silently change."""
+    from sanctum_spark.operators.linkage import blocked_candidate_pairs
+
+    df = spark.createDataFrame(
+        [(1, "cold gear", "B", "T"), (2, "old gear", "B", "T")],
+        ["id", "name", "brand", "kind"],
+    )
+    full = blocked_candidate_pairs(df, "id", ["brand", "kind"], "name").count()
+    pre = blocked_candidate_pairs(
+        df, "id", ["brand", "kind"], "name", prefix_len=2
+    ).count()
+    assert full == 1  # cold/old differ by one leading-char deletion
+    assert pre == 0  # the edit is inside the 2-char prefix -> missed
+
+
+def test_bm25_operator_scores_and_topk(spark):
+    """bm25_scores: a doc containing a rarer query term outranks one
+    with only the common term; bm25_topk returns k rows in (score desc,
+    id) order and releases its cache."""
+    from sanctum_spark.operators.retrieval import bm25_scores, bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark shuffle x y z"),
+            (2, "spark a b c d e"),
+            (3, "no match here"),
+            (4, "shuffle only doc w w w"),
+        ],
+        ["doc_id", "text"],
+    )
+    scores = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(docs, ["spark", "shuffle"]).collect()
+    }
+    assert set(scores) == {1, 2, 4}  # doc 3 matches nothing
+    assert scores[1] > scores[2]  # two terms + higher tf beats one term
+    top = bm25_topk(docs, ["spark", "shuffle"], k=2).collect()
+    assert [r["doc_id"] for r in top] == sorted(
+        scores, key=lambda d: (-scores[d], d)
+    )[:2]

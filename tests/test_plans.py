@@ -479,9 +479,16 @@ def test_q161_er_blocked_equi_join(spark, sf_dir):
     the record table means blocking regressed to all-pairs Levenshtein.
     Inspect the pre-clustering stage: connected_components' eager
     checkpoint truncates the registered query's plan."""
-    from sanctum_spark.queries.pipeline7_q import _q161_pairs
+    from sanctum_spark.operators.linkage import blocked_candidate_pairs
+    from sanctum_spark.queries.pipeline7_q import _q161_records
 
-    _, pairs = _q161_pairs(spark, sf_dir)
+    pairs = blocked_candidate_pairs(
+        _q161_records(spark, sf_dir),
+        "id",
+        block_cols=["brand", "kind"],
+        fuzzy_col="name",
+        max_dist=1,
+    )
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -502,9 +509,19 @@ def test_q162_bm25_topk_plan(spark, sf_dir):
     registered fn's eager checkpoint truncates the executed plan."""
     from pyspark.sql import functions as F
 
-    from sanctum_spark.queries.pipeline7_q import BM25_TOPK, _q162_build
+    from sanctum_spark.io import load_table
+    from sanctum_spark.operators.retrieval import _bm25_build
+    from sanctum_spark.queries.pipeline7_q import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        BM25_TOPK,
+    )
 
-    scored, tf = _q162_build(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    scored, tf = _bm25_build(
+        docs, BM25_TERMS, "text", "doc_id", BM25_K1, BM25_B, 6
+    )
     try:
         topk = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOPK)
         plan = topk._jdf.queryExecution().executedPlan().toString()
