@@ -1104,7 +1104,7 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT doc_id, cand,
                      regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
               FROM assigned)
-        WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 5
+        WHERE len(toks) >= 5
     ), train_sh AS (
         SELECT DISTINCT shingle FROM sh WHERE cand = 'train'
     ), leaky AS (
