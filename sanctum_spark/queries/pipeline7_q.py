@@ -1,17 +1,20 @@
-"""Pipeline queries, batch 7 (round 4, close): record linkage and
-text retrieval — two capability families the registry did not yet carry
-as first-class, oracle-paired entries.
+"""Pipeline queries, batch 7 (round 4, close): record linkage, text
+retrieval and privacy release — capability families the registry did not
+yet carry as first-class, oracle-paired entries.
 
 - q161: entity resolution over the ``part`` catalog — the classic
   blocking → candidate matching → transitive clustering pipeline
-  (Fellegi-Sunter shape, deterministic match rule).  Reuses the dedup
-  machinery (``connected_components``) on structured records instead of
-  document shingles.
+  (Fellegi-Sunter shape, deterministic match rule) via
+  ``operators.linkage``.
 - q162: BM25 top-k retrieval over ``documents`` — the lexical relevance
   scorer (Robertson/Spärck Jones) that data-selection pipelines use to
-  pull topic-relevant subsets out of a web corpus before training.
+  pull topic-relevant subsets out of a web corpus, via
+  ``operators.retrieval``.
+- q163: k-anonymity release gate — equivalence-class suppression over a
+  quasi-identifier grouping, the privacy check before publishing
+  event-derived features.
 
-Both carry full DuckDB oracles.
+All three carry full DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -168,4 +171,55 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(
         docs, BM25_TERMS, k=BM25_TOPK, k1=BM25_K1, b=BM25_B, round_to=6
+    )
+
+
+K_ANON = 5  # minimum equivalence-class size for release
+VALUE_BAND = 50.0  # generalization width for the numeric quasi-identifier
+
+
+@register(
+    "q163_k_anonymity",
+    f"""
+    SELECT event_type,
+           EXTRACT(hour FROM ts) AS hour,
+           CAST(FLOOR(value / {VALUE_BAND}) AS BIGINT) AS value_band,
+           COUNT(*) AS class_size,
+           COUNT(*) >= {K_ANON} AS released
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "k-anonymity release gate (k=5): group the events table by its "
+        "quasi-identifier tuple (event_type, hour-of-day, value "
+        "generalized to width-50 bands) and mark every equivalence "
+        "class smaller than k as SUPPRESSED — the standard "
+        "privacy-preserving pre-release check a training-data pipeline "
+        "runs before publishing event-derived features (small classes "
+        "re-identify individuals; PII scrubbing (q123) removes direct "
+        "identifiers, this bounds indirect ones).  Scale shape: ONE "
+        "map-side-combined count at quasi-identifier grain — output "
+        "rows are bounded by the QI domain (types x 24 x bands), never "
+        "corpus-sized; suppression is a post-aggregate filter, zero "
+        "joins.  Too-high suppression rates are fixed by WIDENING the "
+        "generalization (larger VALUE_BAND, coarser time grain) and "
+        "re-running the same one-pass check."
+    ),
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.hour("ts").alias("hour"),
+            F.floor(F.col("value") / VALUE_BAND).alias("value_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .select(
+            "event_type",
+            "hour",
+            "value_band",
+            "class_size",
+            (F.col("class_size") >= K_ANON).alias("released"),
+        )
     )
