@@ -158,8 +158,8 @@ VERIFY_FIRST: list[str] = [
     # family anchors for the 50-slot gate (q01/q03/q13/q20 all carry r01
     # CORRECTNESS rows and keep passing the local replica); two slots
     # remain, so the RANGE-frame and CEP families go in and q149-q151 +
-    # q149-q151/q153-q158/q162 rotate in next round (the list SURVEY.md
-    # stage 6 names) ---
+    # q149-q151/q153-q158/q162/q163 rotate in next round (the list
+    # SURVEY.md stage 6 names) ---
     "q148_trailing_range_frame",
     "q152_cep_pattern",
 ]
