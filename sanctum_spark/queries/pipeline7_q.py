@@ -13,8 +13,11 @@ yet carry as first-class, oracle-paired entries.
 - q163: k-anonymity release gate — equivalence-class suppression over a
   quasi-identifier grouping, the privacy check before publishing
   event-derived features.
+- q164: l-diversity — q163's standard companion: released classes must
+  also carry at least l distinct sensitive values (attribute-disclosure
+  bound).
 
-All three carry full DuckDB oracles.
+All four carry full DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -221,5 +224,61 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_band",
             "class_size",
             (F.col("class_size") >= K_ANON).alias("released"),
+        )
+    )
+
+
+L_DIVERSE = 3  # minimum distinct sensitive values per released class
+
+
+@register(
+    "q164_l_diversity",
+    f"""
+    SELECT event_type,
+           EXTRACT(hour FROM ts) AS hour,
+           CAST(FLOOR(value / {VALUE_BAND}) AS BIGINT) AS value_band,
+           COUNT(*) AS class_size,
+           COUNT(DISTINCT user_id) AS n_sensitive,
+           (COUNT(*) >= {K_ANON} AND COUNT(DISTINCT user_id) >= {L_DIVERSE})
+               AS released
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "l-diversity release gate (k=5, l=3): the standard companion to "
+        "q163's k-anonymity — a class can be large enough yet still "
+        "leak when (nearly) all its rows belong to ONE sensitive value "
+        "(here user_id: a 5-row class made of a single user's events "
+        "re-identifies that user by attribute disclosure).  Each "
+        "quasi-identifier class must carry at least l distinct "
+        "sensitive values AND k rows to be released.  Scale shape: "
+        "identical to q163 plus one COUNT(DISTINCT) expand at QI grain "
+        "— still one corpus pass, zero joins, QI-domain-bounded output; "
+        "at 100 TB the exact distinct swaps for approx_count_distinct "
+        "with identical algebra (q98 is the sketch-accuracy harness)."
+    ),
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.hour("ts").alias("hour"),
+            F.floor(F.col("value") / VALUE_BAND).alias("value_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("user_id").alias("n_sensitive"),
+        )
+        .select(
+            "event_type",
+            "hour",
+            "value_band",
+            "class_size",
+            "n_sensitive",
+            (
+                (F.col("class_size") >= K_ANON)
+                & (F.col("n_sensitive") >= L_DIVERSE)
+            ).alias("released"),
         )
     )
