@@ -101,14 +101,14 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q127_domain_mix",
     f"""
     WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
-    m AS (SELECT MIN(n) * 1.0 AS mn FROM c),
+    m AS (SELECT MIN(n) AS mn FROM c),
     s AS (
         SELECT d.lang, {_u16_sql("d.text")} AS u, c.n, m.mn
         FROM documents d JOIN c USING (lang), m
     )
     SELECT lang, COUNT(*) AS n_kept
     FROM s
-    WHERE u < mn / n * 65536
+    WHERE u * n < mn * 65536
     GROUP BY lang
     """,
     doc=(
@@ -119,18 +119,21 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
         "same content-hash uniform as q126, applied scan-side. The "
         "balance-the-data-mix stage of corpus curation: one tiny shuffle "
         "for counts, one for the final per-language tally, corpus rows "
-        "never shuffle."
+        "never shuffle. The keep decision u < mn/n*65536 is compared as "
+        "pure int64 cross-multiplication (u*n < mn*65536, r5) so no "
+        "engine's double division can put a boundary doc on the other "
+        "side of the cut."
     ),
 )
 def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    mn = counts.agg(F.min("n").cast("double").alias("mn"))
+    mn = counts.agg(F.min("n").alias("mn"))
     return (
         docs.select("lang", _u16_spark().alias("u"))
         .join(F.broadcast(counts), "lang")
         .join(F.broadcast(mn))
-        .filter(F.col("u") < F.col("mn") / F.col("n") * 65536)
+        .filter(F.col("u") * F.col("n") < F.col("mn") * 65536)
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
@@ -279,7 +282,7 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*)                 AS n_docs,
            SUM(n_chars)             AS total_chars,
            MAX(n_chars)             AS max_chars,
-           ROUND(SUM(n_chars) * 1.0 / COUNT(*) + 1e-9, 4) AS avg_chars
+           (SUM(n_chars) * 100) // COUNT(*) AS avg_chars_e2
     FROM documents
     GROUP BY lang
     """,
@@ -293,7 +296,10 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hypertable partials. Oracle recomputes from the full table and "
         "must agree exactly. At 100 TB: base partials are a group-grain "
         "table (KBs), each ingest batch contributes one map-side-combined "
-        "partial pass bounded by the batch."
+        "partial pass bounded by the batch. The derived average is pinned "
+        "at integer grain (floor of avg*100, pure int64 division on both "
+        "engines — zero FP anywhere) after the r4 driver gate showed a "
+        "rounded-double avg diverging across DuckDB builds."
     ),
 )
 def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,7 +324,7 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_docs"),
         F.col("s").alias("total_chars"),
         F.col("mx").alias("max_chars"),
-        stable_round(F.col("s") * 1.0 / F.col("n"), 4).alias("avg_chars"),
+        F.expr("(s * 100) DIV n").alias("avg_chars_e2"),
     )
 
 
@@ -605,9 +611,9 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, wk, n,
            n - lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS delta,
-           ROUND(n * 1.0 / NULLIF(lag(n) OVER (
-               PARTITION BY event_type ORDER BY wk), 0) - 1 + 1e-9, 6)
-               AS growth
+           CAST(FLOOR((n * 1.0 / NULLIF(lag(n) OVER (
+                    PARTITION BY event_type ORDER BY wk), 0) - 1)
+                * 1000000.0 + 0.5 + 1e-9) AS BIGINT) AS growth_e6
     FROM w
     """,
     doc=(
@@ -616,11 +622,17 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AGGREGATED week grain (group-count rows, not raw events), so the "
         "window sort is trivially small at any corpus size; the only "
         "corpus-sized pass is the map-side-combined weekly count. Exact "
-        "SQL oracle (first week's delta/growth are NULL both sides)."
+        "SQL oracle (first week's delta/growth are NULL both sides); "
+        "growth is pinned at integer micro-grain (BIGINT, r5) — the "
+        "n/prev division of exact int64s is one correctly-rounded IEEE "
+        "op, identical on both engines, and the fixed-point cast leaves "
+        "no rounded-double representation to diverge across builds."
     ),
 )
 def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
+
+    from sanctum_spark.queries.util import int_grain
 
     ev = load_table(spark, sf_dir, "events")
     weekly = ev.groupBy(
@@ -634,9 +646,9 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wk",
         "n",
         (F.col("n") - prev).alias("delta"),
-        stable_round(
+        int_grain(
             F.col("n") * 1.0 / F.nullif(prev, F.lit(0)) - 1, 6
-        ).alias("growth"),
+        ).alias("growth_e6"),
     )
 
 

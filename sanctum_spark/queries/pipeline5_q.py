@@ -114,10 +114,11 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tot AS (SELECT SUM(tokens) AS total FROM per_source)
     SELECT source,
            tokens,
-           ROUND(tokens / CAST(total AS DOUBLE) + 1e-9, 6) AS share,
-           ROUND(-SUM(tokens / CAST(total AS DOUBLE)
-                      * ln(tokens / CAST(total AS DOUBLE)))
-                 OVER () + 1e-9, 6) AS mix_entropy
+           (tokens * 1000000) // total AS share_e6,
+           CAST(FLOOR(-SUM(tokens / CAST(total AS DOUBLE)
+                           * ln(tokens / CAST(total AS DOUBLE)))
+                      OVER () * 1000000.0 + 0.5 + 1e-9) AS BIGINT)
+               AS mix_entropy_e6
     FROM per_source, tot
     """,
     doc=(
@@ -127,10 +128,16 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group-count rows, never corpus rows, so the single partition "
         "holds ~#sources rows at any corpus size). The quantity a "
         "data-mix rebalancer (q127) monitors: entropy falling means the "
-        "mix is drifting toward few sources."
+        "mix is drifting toward few sources. Pins are integer-grain "
+        "(r5): share is a pure int64 floor-division (zero FP), entropy "
+        "— whose ln() carries libm variance across engine builds, the "
+        "r4 driver-gate failure — is floor(x*1e6+0.5) as BIGINT so no "
+        "rounded-double representation ever reaches the hash."
     ),
 )
 def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.queries.util import int_grain
+
     docs = load_table(spark, sf_dir, "documents")
     per_source = (
         docs.select(
@@ -140,14 +147,14 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum("n_tokens").alias("tokens"))
     )
-    total = per_source.agg(F.sum("tokens").cast("double").alias("total"))
-    p = F.col("tokens") / F.col("total")
+    total = per_source.agg(F.sum("tokens").alias("total"))
+    p = F.col("tokens") / F.col("total").cast("double")
     went = W.partitionBy()  # source-grain rows only: bounded single partition
     return per_source.join(F.broadcast(total)).select(
         "source",
         "tokens",
-        stable_round(p, 6).alias("share"),
-        stable_round(-F.sum(p * F.log(p)).over(went), 6).alias("mix_entropy"),
+        F.expr("(tokens * 1000000) DIV total").alias("share_e6"),
+        int_grain(-F.sum(p * F.log(p)).over(went), 6).alias("mix_entropy_e6"),
     )
 
 

@@ -38,3 +38,34 @@ def money_round(col: Column, scale: int = 2) -> Column:
 
 def sql_money_round(expr: str, scale: int = 2) -> str:
     return f"ROUND(({expr}) + 5e-7, {scale})"
+
+
+# ---------------------------------------------------------------------------
+# Integer-grain pins (round 5).
+#
+# ROUND(x, s) pins return a DOUBLE, and different engine builds materialize
+# "the same" s-dp decimal as different last-bit doubles (round is typically
+# implemented as round(x * 10^s) / 10^s, and the divide-back step is where
+# builds disagree) — the r4 driver gate showed exactly this on two queries
+# that pass bit-exactly against local DuckDB 1.0.0.  Comparing at integer
+# grain removes the representation entirely: FLOOR(x * 10^s + 0.5 + eps)
+# cast to BIGINT is one correctly-rounded multiply + adds + an exact floor,
+# so both engines agree unless the PRE-round value itself straddles the
+# half-boundary within engine noise (~ulp) — the same residual risk the
+# double pins had, minus the representation channel.  FLOOR(+0.5) instead
+# of ROUND also sidesteps half-even vs half-away variance across builds.
+# ---------------------------------------------------------------------------
+
+
+def int_grain(col: Column, scale: int) -> Column:
+    """Fixed-point pin: BIGINT of col * 10^scale, round-half-up + eps."""
+    return F.floor(
+        col * F.lit(float(10**scale)) + F.lit(0.5) + F.lit(EPS)
+    ).cast("long")
+
+
+def sql_int_grain(expr: str, scale: int) -> str:
+    return (
+        f"CAST(FLOOR(({expr}) * {float(10 ** scale):.1f} + 0.5 + 1e-9)"
+        " AS BIGINT)"
+    )
