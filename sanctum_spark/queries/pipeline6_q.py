@@ -699,23 +699,77 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q153_dtw_similarity",
-    None,
+    """
+    WITH RECURSIVE
+    series AS (
+        SELECT user_id, list(v ORDER BY day_no) AS s
+        FROM (
+            SELECT user_id,
+                   datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS day_no,
+                   ROUND(SUM(value) + 1e-9, 2) AS v
+            FROM events GROUP BY 1, 2
+        ) GROUP BY user_id
+    ),
+    init AS (
+        SELECT user_id, s,
+               len(s) AS n, 30 AS m,
+               GREATEST(5, abs(len(s) - 30)) AS r,
+               list_transform(range(0, 30),
+                              i -> ROUND(i * 100.0 / 29.0, 4)) AS p,
+               1 AS i, 0 AS j,
+               list_prepend(0.0, list_transform(range(1, 31),
+                                                x -> 1e18)) AS prev,
+               CAST([1e18] AS DOUBLE[]) AS cur
+        FROM series
+    ),
+    step AS (
+        -- banded-DTW DP, one CELL per recursion step in raster order:
+        -- prev/cur are DP rows i-1 / i (1-based lists; index k+1 holds
+        -- column k, column 0 is the inf boundary, row 0 is [0, inf...]).
+        -- D[i][j] = |s_i - p_j| + min(D[i-1][j-1], D[i-1][j], D[i][j-1])
+        -- inside the Sakoe-Chiba band j in [i-r, i+r]; 1e18 = inf.
+        SELECT user_id, s, n, m, r, p, i, j, prev, cur FROM init
+        UNION ALL
+        SELECT user_id, s, n, m, r, p,
+               CASE WHEN j < m THEN i ELSE i + 1 END,
+               CASE WHEN j < m THEN j + 1 ELSE 0 END,
+               CASE WHEN j < m THEN prev ELSE cur END,
+               CASE WHEN j < m
+                    THEN list_append(cur,
+                         CASE WHEN j + 1 BETWEEN i - r AND i + r
+                              THEN abs(s[i] - p[j + 1])
+                                   + LEAST(prev[j + 1], prev[j + 2],
+                                           cur[j + 1])
+                              ELSE 1e18 END)
+                    ELSE CAST([1e18] AS DOUBLE[]) END
+        FROM step
+        WHERE j < m OR i < n
+    )
+    SELECT user_id, n AS n_days,
+           CAST(FLOOR((cur[m + 1]) * 10000.0 + 0.5 + 1e-9) AS BIGINT)
+               AS dtw_dist_e4
+    FROM step WHERE i = n AND j = m
+    """,
     doc=(
         "time-series similarity search by Dynamic Time Warping: each "
         "user's daily value series vs a fixed 30-point reference ramp, "
         "Sakoe-Chiba band radius 5 (O(n*r) DP instead of O(n*m)). The "
         "series build is one map-side-combined (user, day) rollup + a "
         "same-key sort_array collect; the DP runs as a vectorized-batch "
-        "Arrow pandas UDF (numpy per series — the one genuinely "
-        "iterative per-row kernel, not expressible in SQL, hence "
-        "rows-only; exact distances pinned in tests against an "
-        "independent pure-Python DTW). At 100 TB: series are "
-        "user-bounded (<=31 points), so the UDF input is user-grain, "
-        "never event-grain."
+        "Arrow pandas UDF (numpy per series). Oracle-paired since r6: "
+        "DuckDB recomputes the identical banded DP as a recursive CTE "
+        "(one cell per step, DP rows carried as list state) — a genuine "
+        "independent recomputation, not a fixture pin; the DP is a fixed "
+        "sequence of IEEE +/abs/min ops over identical rounded inputs, "
+        "so cells match bit-for-bit and the distance is pinned at "
+        "integer e4 grain. At 100 TB: series are user-bounded (<=31 "
+        "points), so the UDF input is user-grain, never event-grain."
     ),
 )
 def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctum_spark.operators.timeseries import REF_PATTERN, dtw_to_ref
+    from sanctum_spark.queries.util import int_grain
 
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -733,8 +787,8 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series.select(
         "user_id",
         F.size("series").alias("n_days"),
-        F.round(dtw_to_ref(F.col("series"), REF_PATTERN, radius=5), 4).alias(
-            "dtw_dist"
+        int_grain(dtw_to_ref(F.col("series"), REF_PATTERN, radius=5), 4).alias(
+            "dtw_dist_e4"
         ),
     )
 

@@ -54,6 +54,17 @@ def sql_money_round(expr: str, scale: int = 2) -> str:
 # half-boundary within engine noise (~ulp) — the same residual risk the
 # double pins had, minus the representation channel.  FLOOR(+0.5) instead
 # of ROUND also sidesteps half-even vs half-away variance across builds.
+#
+# Pure-integer pins (no helper needed) pair DuckDB `//` with Spark `DIV`
+# (q131 avg_chars_e2, q141 share_e6).  PRECONDITION: all operands
+# NON-NEGATIVE.  DuckDB `//` floors (toward -inf) while Spark `DIV`
+# truncates (toward zero); they agree only on non-negative quotients —
+# do NOT reuse the pairing on signed expressions (use
+# FLOOR(CAST(a AS DOUBLE)/b) vs F.floor(a/b) there instead).
+# Also: any oracle output column built from SUM(<integer col>) or `//`
+# MUST be wrapped in CAST(... AS BIGINT) — DuckDB returns HUGEINT, which
+# pandas materializes as float64 and the driver's stringified value hash
+# sees as "600.0" != "600" (the r4/r5 q131/q141 gate failures).
 # ---------------------------------------------------------------------------
 
 

@@ -1015,7 +1015,7 @@ def test_q153_dtw_matches_driver_side_reference(spark, sf_dir):
 
     qreg.load_all_modules()
     out = {
-        r["user_id"]: (r["n_days"], r["dtw_dist"])
+        r["user_id"]: (r["n_days"], r["dtw_dist_e4"])
         for r in qreg.REGISTRY["q153_dtw_similarity"].fn(spark, sf_dir).collect()
     }
     from sanctum_spark.io import load_table
@@ -1035,10 +1035,13 @@ def test_q153_dtw_matches_driver_side_reference(spark, sf_dir):
     series: dict = {}
     for r in daily:
         series.setdefault(r["user_id"], []).append((r["day_no"], r["v"]))
+    import math
+
     for uid, pts in list(series.items())[:20]:
         s = [v for _, v in sorted(pts)]
-        want = round(
-            dtw_banded(np.array(s), np.array(REF_PATTERN, dtype=float), 5), 4
+        want = math.floor(
+            dtw_banded(np.array(s), np.array(REF_PATTERN, dtype=float), 5)
+            * 10000.0 + 0.5 + 1e-9
         )
         assert out[uid] == (len(s), want), uid
 

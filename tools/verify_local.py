@@ -83,14 +83,27 @@ def main() -> None:
                 rec["oracle_rows"] = len(want)
                 rec["rows_match"] = len(got) == len(want)
                 rec["schema_match"] = list(got.columns) == list(want.columns)
-                try:
-                    pd.testing.assert_frame_equal(
-                        got, want, check_dtype=False, check_exact=True
-                    )
-                    rec["hash_match"] = True
-                except AssertionError as e:
-                    rec["hash_match"] = False
-                    rec["err"] = str(e)[:500]
+                # Driver-strength compare: stringify both frames and demand
+                # byte equality. check_dtype=False let 600.0 == 600 pass for
+                # two rounds while the driver's stringified value hash
+                # (which sees "600.0" != "600") failed — the DuckDB
+                # SUM(BIGINT)->HUGEINT->float64 class (r5 verdict #2).
+                gs, ws = got.astype(str), want.astype(str)
+                rec["hash_match"] = gs.shape == ws.shape and gs.equals(ws)
+                if not rec["hash_match"]:
+                    dt = [
+                        f"{c}: spark={got[c].dtype} oracle={want[c].dtype}"
+                        for c in got.columns
+                        if c in want.columns and got[c].dtype != want[c].dtype
+                    ]
+                    bad = [
+                        c for c in gs.columns
+                        if c in ws.columns and not gs[c].equals(ws[c])
+                    ]
+                    rec["err"] = (
+                        f"str-compare mismatch; dtype diffs: {dt or 'none'}; "
+                        f"value-diff cols: {bad}"
+                    )[:500]
             else:
                 rec["rows_match"] = rec["spark_rows"] >= 0
                 rec["note"] = "rows-only (no oracle)"
@@ -107,14 +120,21 @@ def main() -> None:
     # subset runs must not clobber the canonical full-registry evidence
     suffix = "_partial" if only else ""
     out = os.path.join(REPO, "tools", f"verify_local_out{suffix}.json")
+    results["__meta__"] = {  # type: ignore[assignment]
+        "duckdb_version": duckdb.__version__,
+        "sf_dir": sf_dir,
+    }
     with open(out, "w") as fh:
         json.dump(results, fh, indent=1, sort_keys=True)
     n_fail = sum(
-        1 for r in results.values()
-        if r["err"] or r["rows_match"] is False
-        or r["hash_match"] is False or r["schema_match"] is False
+        1 for k, r in results.items()
+        if k != "__meta__" and (
+            r["err"] or r["rows_match"] is False
+            or r["hash_match"] is False or r["schema_match"] is False
+        )
     )
-    print(f"# {len(results)} queries, {n_fail} failing -> {out}")
+    print(f"# {len(results) - 1} queries, {n_fail} failing "
+          f"(duckdb {duckdb.__version__}) -> {out}")
     spark.stop()
 
 
