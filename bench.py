@@ -16,7 +16,7 @@ import sys
 import time
 
 
-def _sustained_spell_tp(spark, sf_dir: str) -> int | None:
+def _sustained_spell_tp(spark, sf_dir: str) -> tuple[int | None, int | None]:
     """Best-of-5 events/sec for the vectorized route+cast pipeline over a
     128x-replicated cached events table.
 
@@ -65,11 +65,23 @@ def _sustained_spell_tp(spark, sf_dir: str) -> int | None:
         out = apply_spell(big, spell, schema, topic_col="event_type")
         out.count()  # warm
         best = min(_timed(out.count) for _ in range(5))
+
+        # Zero-Python expression tier over the SAME cached input: the
+        # boost cast compiled to Catalyst (ExpressionSpell).  This is the
+        # production path for every SQL-expressible spell — no Arrow
+        # boundary, whole-stage codegen end to end.
+        from sanctum_spark.queries.spells_q import BOOST_EXPR_SPELL
+
+        out_expr = apply_spell(
+            big, BOOST_EXPR_SPELL, schema, topic_col="event_type"
+        )
+        out_expr.count()  # warm
+        best_expr = min(_timed(out_expr.count) for _ in range(5))
         big.unpersist()
-        return round(n / best)
+        return round(n / best), round(n / best_expr)
     except Exception as exc:  # never fail the bench over the extra metric
         print(f"# sustained spell tp skipped: {exc}", file=sys.stderr)
-        return None
+        return None, None
 
 
 def _timed(fn) -> float:
@@ -132,7 +144,7 @@ def main() -> None:
     # steady-state rate a resident 100 TB job would see: the same
     # route+cast pipeline over a 16x-replicated CACHED input (overhead
     # amortized), best of 3.
-    spell_tp_sustained = _sustained_spell_tp(spark, sf_dir)
+    spell_tp_sustained, spell_tp_expr = _sustained_spell_tp(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -146,6 +158,7 @@ def main() -> None:
         "sf": sf_val,
         "spell_events_per_sec": spell_tp,
         "spell_events_per_sec_sustained": spell_tp_sustained,
+        "spell_events_per_sec_expr": spell_tp_expr,
         "row_spell_events_per_sec": (
             round(n_events / timings["q80_spell_cast"])
             if timings.get("q80_spell_cast")
@@ -169,6 +182,7 @@ def main() -> None:
         "median_sec": round(sorted(timings.values())[len(timings) // 2], 4),
         "spell_events_per_sec": spell_tp,
         "spell_events_per_sec_sustained": spell_tp_sustained,
+        "spell_events_per_sec_expr": spell_tp_expr,
         "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(result))

@@ -22,8 +22,23 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegralType
 
 __all__ = ["blocked_candidate_pairs", "resolve_entities"]
+
+
+def _require_integral_id(df: DataFrame, id_col: str, fn: str) -> None:
+    """``connected_components`` casts ids to LONG; a non-numeric id would
+    cast to null and silently make every record its own singleton entity.
+    Fail loudly instead of resolving nothing."""
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, IntegralType):
+        raise TypeError(
+            f"{fn}: id_col {id_col!r} must be an integral type (its values "
+            f"feed connected_components' LONG node ids); got {dt.simpleString()}. "
+            "Hash or dense-rank string ids to longs first "
+            "(e.g. xxhash64(id) or a dimension join)."
+        )
 
 
 def blocked_candidate_pairs(
@@ -41,7 +56,12 @@ def blocked_candidate_pairs(
     The length-delta prefilter (``|len(a)-len(b)| <= max_dist``) is
     exact — an edit script of length d changes string length by at most
     d — and prunes most candidates before the O(len²) DP runs.
+
+    ``id_col`` must be an integral type: downstream
+    :func:`resolve_entities` feeds the pairs into
+    ``connected_components``, whose node ids are LONGs.
     """
+    _require_integral_id(df, id_col, "blocked_candidate_pairs")
     cols = [id_col, fuzzy_col, *block_cols]
     a, b = df.select(*cols).alias("a"), df.select(*cols).alias("b")
     on: list[Column] = [
@@ -75,9 +95,13 @@ def resolve_entities(
     """Assign every record an ``entity_id`` (the minimum ``id_col`` in
     its transitive match closure; singletons map to themselves).
 
-    Returns the input columns plus ``entity_id``.
+    Returns the input columns plus ``entity_id``.  ``id_col`` must be an
+    integral type (see :func:`blocked_candidate_pairs`); a TypeError is
+    raised otherwise rather than silently producing all-singleton output.
     """
     from sanctum_spark.operators.dedup import connected_components
+
+    _require_integral_id(df, id_col, "resolve_entities")
 
     pairs = blocked_candidate_pairs(
         df, id_col, block_cols, fuzzy_col, max_dist, prefix_len

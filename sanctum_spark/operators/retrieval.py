@@ -11,10 +11,13 @@ TakeOrderedAndProject, never a global sort.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_scores", "bm25_topk"]
+__all__ = ["bm25_scores", "bm25_scoring", "bm25_topk"]
 
 
 def _tokens(text_col: str):
@@ -33,14 +36,39 @@ def bm25_scores(
     """Per-document BM25 score for ``terms`` — ``(id_col, bm25)`` rows
     for every document matching at least one term.
 
-    The returned frame holds a persisted intermediate; callers that
-    materialize the result and want the cache released should prefer
-    :func:`bm25_topk`, which checkpoints its k rows and unpersists.
-    Scores are rounded to ``round_to`` decimals (engine-stable ranking
-    across IEEE-noise differences); pass ``None`` to keep raw doubles.
+    The returned frame holds a persisted intermediate that lives until
+    the session ends (or ``spark.catalog.clearCache()``); callers that
+    want deterministic release should use :func:`bm25_scoring` (context-
+    manager form, unpersists on exit) or :func:`bm25_topk` (checkpoints
+    its k rows and unpersists).  Scores are rounded to ``round_to``
+    decimals (engine-stable ranking across IEEE-noise differences); pass
+    ``None`` to keep raw doubles.
     """
     df_scored, tf = _bm25_build(docs, terms, text_col, id_col, k1, b, round_to)
     return df_scored
+
+
+@contextmanager
+def bm25_scoring(
+    docs: DataFrame,
+    terms: list[str] | tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int | None = 6,
+) -> Iterator[DataFrame]:
+    """Context-managed :func:`bm25_scores`: yields the scored frame and
+    unpersists the shared tf intermediate on exit, so long-lived sessions
+    don't accumulate executor cache.  Materialize (collect/write) inside
+    the ``with`` block."""
+    scored, tf = _bm25_build(docs, terms, text_col, id_col, k1, b, round_to)
+    try:
+        yield scored
+    finally:
+        # blocking: the point of the CM is deterministic release — a
+        # fire-and-forget unpersist can outlive the block it guards
+        tf.unpersist(blocking=True)
 
 
 def bm25_topk(

@@ -13,9 +13,9 @@ yet carry as first-class, oracle-paired entries.
 - q163: k-anonymity release gate — equivalence-class suppression over a
   quasi-identifier grouping, the privacy check before publishing
   event-derived features.
-- q164: l-diversity — q163's standard companion: released classes must
-  also carry at least l distinct sensitive values (attribute-disclosure
-  bound).
+- q164: distinct-individuals floor — q163's companion: released classes
+  must also carry at least l distinct user_ids (l-diversity algebra over
+  an identifier column, i.e. a k-map-style individual-count bound).
 
 All four carry full DuckDB oracles.
 """
@@ -228,7 +228,7 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-L_DIVERSE = 3  # minimum distinct sensitive values per released class
+L_DIVERSE = 3  # minimum distinct individuals per released class
 
 
 @register(
@@ -238,24 +238,29 @@ L_DIVERSE = 3  # minimum distinct sensitive values per released class
            EXTRACT(hour FROM ts) AS hour,
            CAST(FLOOR(value / {VALUE_BAND}) AS BIGINT) AS value_band,
            COUNT(*) AS class_size,
-           COUNT(DISTINCT user_id) AS n_sensitive,
+           COUNT(DISTINCT user_id) AS n_individuals,
            (COUNT(*) >= {K_ANON} AND COUNT(DISTINCT user_id) >= {L_DIVERSE})
                AS released
     FROM events
     GROUP BY 1, 2, 3
     """,
     doc=(
-        "l-diversity release gate (k=5, l=3): the standard companion to "
-        "q163's k-anonymity — a class can be large enough yet still "
-        "leak when (nearly) all its rows belong to ONE sensitive value "
-        "(here user_id: a 5-row class made of a single user's events "
-        "re-identifies that user by attribute disclosure).  Each "
-        "quasi-identifier class must carry at least l distinct "
-        "sensitive values AND k rows to be released.  Scale shape: "
-        "identical to q163 plus one COUNT(DISTINCT) expand at QI grain "
-        "— still one corpus pass, zero joins, QI-domain-bounded output; "
-        "at 100 TB the exact distinct swaps for approx_count_distinct "
-        "with identical algebra (q98 is the sketch-accuracy harness)."
+        "distinct-individuals release gate (k=5, l=3): the companion to "
+        "q163's k-anonymity.  A class can be large enough yet still "
+        "re-identify when (nearly) all its rows belong to ONE person — "
+        "a 5-row class made of a single user's events is that user.  "
+        "Each quasi-identifier class must carry at least l distinct "
+        "user_ids AND k rows to be released.  Precision note: because "
+        "user_id is an IDENTIFIER, not a sensitive attribute, this is "
+        "an individual-count floor per equivalence class (the k-map-"
+        "style guarantee), not classic l-diversity over a sensitive "
+        "value — the algebra (per-class COUNT DISTINCT threshold) is "
+        "identical, so swapping in a true sensitive column is a "
+        "one-argument change.  Scale shape: identical to q163 plus one "
+        "COUNT(DISTINCT) expand at QI grain — still one corpus pass, "
+        "zero joins, QI-domain-bounded output; at 100 TB the exact "
+        "distinct swaps for approx_count_distinct with identical "
+        "algebra (q98 is the sketch-accuracy harness)."
     ),
 )
 def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,17 +273,17 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("class_size"),
-            F.countDistinct("user_id").alias("n_sensitive"),
+            F.countDistinct("user_id").alias("n_individuals"),
         )
         .select(
             "event_type",
             "hour",
             "value_band",
             "class_size",
-            "n_sensitive",
+            "n_individuals",
             (
                 (F.col("class_size") >= K_ANON)
-                & (F.col("n_sensitive") >= L_DIVERSE)
+                & (F.col("n_individuals") >= L_DIVERSE)
             ).alias("released"),
         )
     )

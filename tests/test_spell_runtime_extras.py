@@ -113,3 +113,73 @@ def test_emission_channel_distributed(spark, sf_dir):
         # k%4+1 ∈ [1,4] → lines: (n-1) decrements + 1 stop line
         assert r["_emits"][-1] == "The counter has reached 0, stopping."
         assert len(r["_emits"]) == max(r["n_casts"] - 1, 0) + 1
+
+
+def test_expression_spell_tier_equivalence(spark, sf_dir):
+    """The three boost-cast tiers — per-row dict, Arrow-vectorized pandas,
+    and the zero-Python Catalyst ExpressionSpell — must produce identical
+    result sets on the same input."""
+    import sanctum_spark.queries as qreg
+    from sanctum_spark.queries.spells_q import BOOST_EXPR_SPELL
+
+    qreg.load_all_modules()
+    row_tier = qreg.REGISTRY["q80_spell_cast"].fn(spark, sf_dir)
+    vec_tier = qreg.REGISTRY["q82_spell_cast_vectorized"].fn(spark, sf_dir)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    expr_tier = apply_spell(ev, BOOST_EXPR_SPELL, None, topic_col="event_type")
+
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    got = rows(expr_tier)
+    assert got == rows(vec_tier)
+    assert got == rows(row_tier)
+    assert len(got) > 0
+
+
+def test_expression_spell_plan_is_zero_python(spark, sf_dir):
+    """The expression tier must compile to pure Catalyst: no Python
+    evaluation operator of any kind in the physical plan, and the topic
+    route + where filter must appear as pushable Filter predicates."""
+    from sanctum_spark.queries.spells_q import BOOST_EXPR_SPELL
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = apply_spell(ev, BOOST_EXPR_SPELL, None, topic_col="event_type")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                 "PythonMapInArrow", "FlatMapGroupsInPandas"):
+        assert node not in plan, f"expression tier must not contain {node}"
+    # "*(n)" prefixes mark whole-stage-codegen'd operators
+    assert "*(1)" in plan
+    # the where predicate must reach the parquet scan as a pushed filter
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(value" in plan
+
+
+def test_expression_spell_topic_null_semantics(spark):
+    """ExpressionSpell routing keeps the reference's code-wins null
+    semantics (O4): a null event topic matches every spell."""
+    from sanctum_spark.spells import ExpressionSpell, apply_expression_spell
+
+    df = spark.createDataFrame(
+        [(1, "purchase", 60.0), (2, None, 60.0), (3, "view", 60.0),
+         (4, "purchase", 10.0)],
+        ["event_id", "event_type", "value"],
+    )
+    spell = ExpressionSpell(
+        name="b", where="value >= 50",
+        project={"event_id": "event_id"}, topic="purchase",
+    )
+    got = sorted(r["event_id"] for r in
+                 apply_expression_spell(df, spell, "event_type").collect())
+    # 1: topic match; 2: null topic matches; 3: routed away; 4: where-drop
+    assert got == [1, 2]
+    # no-topic spell matches everything above the value bar
+    open_spell = ExpressionSpell(
+        name="b2", where="value >= 50", project={"event_id": "event_id"}
+    )
+    got = sorted(r["event_id"] for r in
+                 apply_expression_spell(df, open_spell, "event_type").collect())
+    assert got == [1, 2, 3]

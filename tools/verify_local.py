@@ -117,8 +117,14 @@ def main() -> None:
               f"rows={rec.get('spark_rows')}"
               + (f" err={rec['err'][:200]}" if rec["err"] else ""))
 
-    # subset runs must not clobber the canonical full-registry evidence
-    suffix = "_partial" if only else ""
+    # subset runs must not clobber the canonical full-registry evidence;
+    # non-default sf dirs get their own file for the same reason (a full
+    # sf0.1 run once overwrote the canonical sf0.01 evidence)
+    if only:
+        suffix = "_partial"
+    else:
+        base = os.path.basename(sf_dir.rstrip("/"))
+        suffix = "" if base == "sf0.01" else f"_{base}"
     out = os.path.join(REPO, "tools", f"verify_local_out{suffix}.json")
     results["__meta__"] = {  # type: ignore[assignment]
         "duckdb_version": duckdb.__version__,
