@@ -210,3 +210,182 @@ def test_q150_psi_identical_periods_zero(spark, tmp_path):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def _write_docs(tmp_path, rows):
+    """rows: (doc_id, text_or_None, lang, source, n_chars) — the
+    documents table schema."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _write_lineitem(tmp_path, prices):
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array(range(len(prices)), pa.int64()),
+            "l_extendedprice": pa.array(prices, pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def _both_tbl(spark, sf_dir, name, table):
+    """Like _both but for a non-events table fixture."""
+    q = qreg.REGISTRY[name]
+    got = q.fn(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/{table}.parquet')"
+    )
+    want = con.sql(q.oracle).df()
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reindex(sorted(df.columns), axis=1).astype(str)
+        if len(df) == 0:
+            return df.reset_index(drop=True)
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+    return canon(got), canon(want)
+
+
+def test_q151_chi2_zero_on_independent_table(spark, tmp_path):
+    """A contingency table with exact row/column independence (every
+    cell o == r*c/n) must give chi2 == 0 on both engines — the dow
+    numbering difference (Spark 1=Sunday vs DuckDB 0=Sunday) must stay
+    label-invariant."""
+    day1 = pd.Timestamp("2024-01-08").value // 1000  # a Monday
+    day2 = pd.Timestamp("2024-01-09").value // 1000  # a Tuesday
+    rows = []
+    eid = 0
+    # type A: 10 on day1, 20 on day2; type B: 5 / 10  -> independent
+    for day, counts in ((day1, {"A": 10, "B": 5}), (day2, {"A": 20, "B": 10})):
+        for etype, k in counts.items():
+            for i in range(k):
+                rows.append((eid := eid + 1, day + i, i, etype, 1.0))
+    sf = _write_events(tmp_path, rows)
+    got, want = _both(spark, sf, "q151_chi2_independence")
+    pd.testing.assert_frame_equal(got, want)
+    row = got.iloc[0]
+    assert row["chi2"] == "0.0"
+    assert row["dof"] == "1"
+    assert row["n_cells"] == "4"
+
+
+def test_q154_benford_price_boundary(spark, tmp_path):
+    """The l_extendedprice >= 1 cut is inclusive on both engines
+    (price 1.0 contributes digit 1, price 0.5 is excluded), and digit
+    shares are exact at a tiny grain."""
+    sf = _write_lineitem(tmp_path, [0.5, 1.0, 1.5, 19.99, 100.0, 9.0])
+    got, want = _both_tbl(spark, sf, "q154_benford_digits", "lineitem")
+    pd.testing.assert_frame_equal(got, want)
+    by_digit = {r["digit"]: r for _, r in got.iterrows()}
+    assert set(by_digit) == {"1", "9"}
+    assert by_digit["1"]["n"] == "4" and by_digit["9"]["n"] == "1"
+    assert by_digit["1"]["observed"] == "0.8"
+    assert by_digit["9"]["observed"] == "0.2"
+
+
+def test_q155_reservoir_weight_and_ties(spark, tmp_path):
+    """A-ES sampling edges: equal texts (equal uniforms) rank by the
+    doc_id tiebreak, and with the same uniform a heavier doc (larger
+    n_chars) always outranks a lighter one (es_key = ln(u)/w rises
+    toward 0 as w grows)."""
+    rows = [
+        # same text -> same u16; weights 1000 vs 10 -> doc 1 outranks 2
+        (1, "alpha beta", "en", "s", 1000),
+        (2, "alpha beta", "en", "s", 10),
+        # exact tie: same text AND same weight -> doc 3 before doc 4
+        (3, "gamma delta", "en", "s", 100),
+        (4, "gamma delta", "en", "s", 100),
+        (5, "other doc", "de", "s", 50),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got, want = _both_tbl(spark, sf, "q155_weighted_reservoir", "documents")
+    pd.testing.assert_frame_equal(got, want)
+    en = (
+        got[got["lang"] == "en"]
+        .assign(rn=lambda d: d["rn"].astype(int))
+        .sort_values("rn")
+    )
+    order = list(en["doc_id"])
+    assert order.index("1") < order.index("2")  # weight wins
+    assert order.index("3") < order.index("4")  # doc_id tiebreak
+
+
+def test_q156_perfect_powerlaw_r2_one(spark, tmp_path):
+    """A count-of-counts table lying exactly on a power law (freq =
+    8/cnt) must fit with slope == -1 and r2 == 1 on both engines."""
+    t0 = 1_700_000_000 * US
+    rows = []
+    eid = 0
+    uid = 0
+    for cnt, n_users in ((1, 8), (2, 4), (4, 2)):
+        for _ in range(n_users):
+            uid += 1
+            for i in range(cnt):
+                rows.append((eid := eid + 1, t0 + eid, uid, "view", 1.0))
+    sf = _write_events(tmp_path, rows)
+    got, want = _both(spark, sf, "q156_powerlaw_fit")
+    pd.testing.assert_frame_equal(got, want)
+    row = got.iloc[0]
+    assert row["n_points"] == "3"
+    assert row["slope"] == "-1.0"
+    assert row["r2"] == "1.0"
+
+
+def test_q157_manifest_detects_substitution(spark, tmp_path):
+    """The WAP manifest must change when one document's content is
+    silently replaced by a copy of another's (same doc count — only the
+    checksums can catch it), and must stay cross-engine identical on
+    both the clean and corrupted corpus."""
+    clean = [
+        (1, "doc one text", "en", "s", 12),
+        (2, "doc two text", "en", "s", 12),
+        (3, "doc three text", "en", "s", 14),
+        (4, "doc four text", "en", "s", 13),
+    ]
+    d_a = tmp_path / "a"
+    d_b = tmp_path / "b"
+    d_a.mkdir()
+    d_b.mkdir()
+    sf_a = _write_docs(d_a, clean)
+    corrupted = [r if r[0] != 3 else (3, "doc four text", "en", "s", 13)
+                 for r in clean]
+    sf_b = _write_docs(d_b, corrupted)
+
+    got_a, want_a = _both_tbl(spark, sf_a, "q157_shard_manifest", "documents")
+    pd.testing.assert_frame_equal(got_a, want_a)
+    got_b, want_b = _both_tbl(spark, sf_b, "q157_shard_manifest", "documents")
+    pd.testing.assert_frame_equal(got_b, want_b)
+    # same total docs, different manifests
+    assert got_a["n_docs"].astype(int).sum() == got_b["n_docs"].astype(int).sum()
+    assert not got_a.equals(got_b)
+
+
+def test_q162_bm25_null_text_rows(spark, tmp_path):
+    """Null-text documents count toward N (both engines' corpus stats)
+    but can never score; a fixture with nulls must stay cross-engine
+    hash-identical and exclude the null doc from results."""
+    rows = [
+        (1, "spark shuffle spark partition", "en", "s", 29),
+        (2, "spark join plan", "en", "s", 15),
+        (3, None, "en", "s", 0),
+        (4, "nothing relevant here", "en", "s", 21),
+        (5, "partition pruning with spark", "en", "s", 28),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got, want = _both_tbl(spark, sf, "q162_bm25_topk", "documents")
+    pd.testing.assert_frame_equal(got, want)
+    assert "3" not in set(got["doc_id"])
+    assert len(got) == 3  # docs 1, 2, 5 match at least one term
