@@ -69,16 +69,23 @@ def _sustained_spell_tp(spark, sf_dir: str) -> tuple[int | None, int | None]:
         # Zero-Python expression tier over the SAME cached input: the
         # boost cast compiled to Catalyst (ExpressionSpell).  This is the
         # production path for every SQL-expressible spell — no Arrow
-        # boundary, whole-stage codegen end to end.
-        from sanctum_spark.queries.spells_q import BOOST_EXPR_SPELL
+        # boundary, whole-stage codegen end to end.  Own try-block: an
+        # expression-tier failure must not discard the vectorized number
+        # already measured above.
+        tp_expr = None
+        try:
+            from sanctum_spark.queries.spells_q import BOOST_EXPR_SPELL
 
-        out_expr = apply_spell(
-            big, BOOST_EXPR_SPELL, schema, topic_col="event_type"
-        )
-        out_expr.count()  # warm
-        best_expr = min(_timed(out_expr.count) for _ in range(5))
-        big.unpersist()
-        return round(n / best), round(n / best_expr)
+            out_expr = apply_spell(
+                big, BOOST_EXPR_SPELL, schema, topic_col="event_type"
+            )
+            out_expr.count()  # warm
+            tp_expr = round(n / min(_timed(out_expr.count) for _ in range(5)))
+        except Exception as exc:
+            print(f"# expr spell tp skipped: {exc}", file=sys.stderr)
+        finally:
+            big.unpersist()
+        return round(n / best), tp_expr
     except Exception as exc:  # never fail the bench over the extra metric
         print(f"# sustained spell tp skipped: {exc}", file=sys.stderr)
         return None, None

@@ -541,6 +541,21 @@ def connected_components(
     dedup graphs converge in 2-4 plain rounds, so jumping is off by
     default.
     """
+    # Node ids become LONGs below; a non-integral id column would cast to
+    # null (strings) or truncate (doubles) and silently yield all-singleton
+    # or merged components — refuse loudly at the shared operator so every
+    # caller (linkage, dedup clustering, graph queries) is protected.
+    from pyspark.sql.types import IntegralType
+
+    for c in (src_col, dst_col):
+        dt = edges.schema[c].dataType
+        if not isinstance(dt, IntegralType):
+            raise TypeError(
+                f"connected_components: {c!r} must be an integral type "
+                f"(node ids are LONGs); got {dt.simpleString()}. Hash or "
+                "dense-rank non-integer ids to longs first (e.g. "
+                "xxhash64(id))."
+            )
     edges = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),

@@ -101,8 +101,8 @@ def resolve_entities(
     """
     from sanctum_spark.operators.dedup import connected_components
 
-    _require_integral_id(df, id_col, "resolve_entities")
-
+    # id validation happens in blocked_candidate_pairs (first touch) and
+    # again inside connected_components itself (shared-operator guard)
     pairs = blocked_candidate_pairs(
         df, id_col, block_cols, fuzzy_col, max_dist, prefix_len
     )

@@ -30,8 +30,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 # Fixed 30-point reference ramp (deterministic, engine-independent): the
-# "steady growth month" template q153 scores users against.
-REF_PATTERN: list[float] = [round(i * 100.0 / 29.0, 4) for i in range(30)]
+# "steady growth month" template q153 scores users against.  Built from
+# PURE INTEGER arithmetic (round-half-up of i*1e6/29 at e4 grain, then
+# one exact int->double divide) so every engine/build constructs the
+# bit-identical double — ROUND(x, 4) materializes its result through a
+# build-dependent divide-back step (util.py int-grain note), which would
+# poison the DTW DP inputs and with them the cross-engine distance pin.
+REF_PATTERN: list[float] = [
+    ((i * 2_000_000 + 29) // 58) / 10000.0 for i in range(30)
+]
 
 
 def dtw_banded(a: np.ndarray, b: np.ndarray, radius: int) -> float:

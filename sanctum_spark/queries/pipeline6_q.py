@@ -702,12 +702,18 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH RECURSIVE
     series AS (
+        -- v at integer e2 grain then ONE exact int->double divide:
+        -- ROUND(x, 2) would materialize a build-dependent double (the
+        -- divide-back step differs across engine builds — the q131/q141
+        -- failure class) and poison the DP inputs; FLOOR(+0.5+eps) on
+        -- the scaled sum plus /100.0 is bit-identical everywhere.
         SELECT user_id, list(v ORDER BY day_no) AS s
         FROM (
             SELECT user_id,
                    datediff('day', DATE '1970-01-01',
                             CAST(ts AS DATE)) AS day_no,
-                   ROUND(SUM(value) + 1e-9, 2) AS v
+                   CAST(FLOOR(SUM(value) * 100.0 + 0.5 + 1e-9) AS BIGINT)
+                       / 100.0 AS v
             FROM events GROUP BY 1, 2
         ) GROUP BY user_id
     ),
@@ -716,7 +722,8 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(s) AS n, 30 AS m,
                GREATEST(5, abs(len(s) - 30)) AS r,
                list_transform(range(0, 30),
-                              i -> ROUND(i * 100.0 / 29.0, 4)) AS p,
+                              i -> ((i * 2000000 + 29) // 58) / 10000.0)
+                   AS p,
                1 AS i, 0 AS j,
                list_prepend(0.0, list_transform(range(1, 31),
                                                 x -> 1e18)) AS prev,
@@ -761,9 +768,13 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
         "DuckDB recomputes the identical banded DP as a recursive CTE "
         "(one cell per step, DP rows carried as list state) — a genuine "
         "independent recomputation, not a fixture pin; the DP is a fixed "
-        "sequence of IEEE +/abs/min ops over identical rounded inputs, "
-        "so cells match bit-for-bit and the distance is pinned at "
-        "integer e4 grain. At 100 TB: series are user-bounded (<=31 "
+        "sequence of IEEE +/abs/min ops (correctly rounded, build-"
+        "independent) over inputs constructed from PURE INTEGER grain on "
+        "both engines (series values floor(sum*100+0.5+eps)/100, pattern "
+        "((i*2e6+29)//58)/1e4 — no decimal ROUND anywhere, whose divide-"
+        "back step is the build-dependent q131/q141 failure class), so "
+        "cells match bit-for-bit across builds and the distance is "
+        "pinned at integer e4 grain. At 100 TB: series are user-bounded (<=31 "
         "points), so the UDF input is user-grain, never event-grain."
     ),
 )
@@ -777,7 +788,7 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
         .cast("long")
         .alias("day_no"),
-    ).agg(F.round(F.sum("value") + F.lit(1e-9), 2).alias("v"))
+    ).agg((int_grain(F.sum("value"), 2) / F.lit(100.0)).alias("v"))
     series = daily.groupBy("user_id").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("day_no", "v"))),

@@ -20,14 +20,28 @@ from sanctum_spark.spells import ExpressionSpell, Spell, apply_spell, loop_spell
 # to _boost_cast/_boost_cast_vectorized below, compiled to Catalyst
 # (WholeStageCodegen, no Arrow boundary).  bench.py measures this tier's
 # sustained throughput alongside the Arrow-vectorized one; equivalence of
-# all three tiers is pinned in tests/test_spells.py.
+# all three tiers — INCLUDING NaN and rounding half-boundaries — is
+# pinned in tests/test_spell_runtime_extras.py.  Two corner-case notes
+# (found by adversarial review, r6):
+# - the drop predicate is the reference's `value < 50 -> nil` NEGATED,
+#   not `value >= 50`: NaN < 50 is false in Lua/Python/pandas/Spark/
+#   DuckDB alike, so a NaN event is KEPT by every tier, while
+#   `value >= 50` would also keep it in Spark (NaN sorts above all)
+#   but drop it in pandas — `NOT (value < 50)` agrees everywhere;
+# - bround (HALF_EVEN), not round (HALF_UP), to match Python round()
+#   and pandas .round() on exact half-boundaries like 100.125;
+# - nanvl(..., NULL): the Python tiers' Arrow boundary normalizes float
+#   NaN to null (pandas uses NaN as its null sentinel, and
+#   pa.Array.from_pandas maps it to null) — that IS the engine's event-
+#   boundary rule, so the expression tier normalizes the same way
+#   instead of leaking a genuine NaN the other tiers cannot produce.
 BOOST_EXPR_SPELL = ExpressionSpell(
     name="boost_expr",
-    where="value >= 50",
+    where="NOT (value < 50)",
     project={
         "event_id": "event_id",
         "user_id": "user_id",
-        "boosted_value": "round(value * 2, 2)",
+        "boosted_value": "nanvl(bround(value * 2, 2), CAST(NULL AS DOUBLE))",
     },
     topic="purchase",
 )
@@ -51,7 +65,7 @@ def _boost_cast(event: dict) -> dict | None:
     SELECT event_id, user_id, ROUND(value * 2, 2) AS boosted_value
     FROM events
     WHERE (event_type IS NULL OR event_type = 'purchase')
-      AND value >= 50
+      AND NOT (value < 50)
     """,
     doc="distributed spell cast: topic-routed, 0..1 rows per event.",
 )
@@ -73,8 +87,11 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _boost_cast_vectorized(pdf):
     # same semantics as _boost_cast, columnar: one pandas expression per
     # Arrow batch instead of a Python loop per event (~10-100x on wide
-    # batches; this is the production form of a hot spell)
-    kept = pdf[pdf["value"] >= 50]
+    # batches; this is the production form of a hot spell).  The filter
+    # is the row tier's `value < 50 -> drop` NEGATED: `pdf.value >= 50`
+    # would silently DROP NaN rows the per-row tier keeps (NaN < 50 is
+    # false, so the row cast proceeds and emits), diverging the tiers.
+    kept = pdf[~(pdf["value"] < 50)]
     out = kept[["event_id", "user_id"]].copy()
     out["boosted_value"] = (kept["value"] * 2).round(2)
     return out
@@ -86,7 +103,7 @@ def _boost_cast_vectorized(pdf):
     SELECT event_id, user_id, ROUND(value * 2, 2) AS boosted_value
     FROM events
     WHERE (event_type IS NULL OR event_type = 'purchase')
-      AND value >= 50
+      AND NOT (value < 50)
     """,
     doc="vectorized spell cast: same semantics as q80 on the columnar path.",
 )

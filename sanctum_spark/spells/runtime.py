@@ -141,6 +141,15 @@ def apply_spell(
     ``output_schema``/``mode`` arguments don't apply there).
     """
     if isinstance(spell, ExpressionSpell):
+        if mode != "cast":
+            # an expression spell is a single filter+project; silently
+            # returning loop-free output (no n_casts) would be wrong far
+            # from the cause — reject loudly instead
+            raise ValueError(
+                f"ExpressionSpell {spell.name!r} supports mode='cast' only "
+                f"(got mode={mode!r}); feedback loops need a Python-tier "
+                "Spell"
+            )
         return apply_expression_spell(df, spell, topic_col=topic_col)
     if not isinstance(spell, Spell):
         spell = validate_spell(spell)

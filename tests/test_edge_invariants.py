@@ -43,26 +43,9 @@ def _write_events(tmp_path, rows):
 
 
 def _both(spark, sf_dir, name):
-    """(spark_df, oracle_df) for a registered query over a crafted dir,
-    canonicalized the driver's way (sorted columns, stringified rows)."""
-    q = qreg.REGISTRY[name]
-    got = q.fn(spark, sf_dir).toPandas()
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW events AS SELECT * FROM "
-        f"read_parquet('{sf_dir}/events.parquet')"
-    )
-    want = con.sql(q.oracle).df()
-
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.reindex(sorted(df.columns), axis=1).astype(str)
-        if len(df) == 0:
-            return df.reset_index(drop=True)
-        return (
-            df.sort_values(by=list(df.columns)).reset_index(drop=True)
-        )
-
-    return canon(got), canon(want)
+    """(spark_df, oracle_df) for a registered events-table query over a
+    crafted dir — see :func:`_both_tbl`."""
+    return _both_tbl(spark, sf_dir, name, "events")
 
 
 def test_q163_q164_threshold_edges(spark, tmp_path):

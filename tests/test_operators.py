@@ -1029,7 +1029,15 @@ def test_q153_dtw_matches_driver_side_reference(spark, sf_dir):
                 F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
             ).alias("day_no"),
         )
-        .agg(F.round(F.sum("value") + F.lit(1e-9), 2).alias("v"))
+        # the query's integer-grain v construction (floor(sum*100+.5+eps)/100)
+        .agg(
+            (
+                F.floor(
+                    F.sum("value") * F.lit(100.0) + F.lit(0.5) + F.lit(1e-9)
+                ).cast("long")
+                / F.lit(100.0)
+            ).alias("v")
+        )
         .collect()
     )
     series: dict = {}

@@ -183,3 +183,79 @@ def test_expression_spell_topic_null_semantics(spark):
     got = sorted(r["event_id"] for r in
                  apply_expression_spell(df, open_spell, "event_type").collect())
     assert got == [1, 2, 3]
+
+
+def test_expression_tier_corner_cases_nan_and_half_boundary(spark):
+    """Adversarial-review pin (r6): the three tiers must agree on the
+    two corner cases where a naive expression translation diverges —
+    NaN values (value >= 50 keeps NaN in Spark, drops it in pandas;
+    `NOT (value < 50)` keeps it everywhere, matching the reference's
+    `value < 50 -> nil`) and exact rounding half-boundaries (Spark
+    round() is HALF_UP; Python/pandas round are HALF_EVEN; bround
+    matches)."""
+    import math
+
+    from sanctum_spark.queries.spells_q import (
+        BOOST_EXPR_SPELL,
+        _boost_cast,
+        _boost_cast_vectorized,
+    )
+    from pyspark.sql import types as T
+
+    rows = [
+        (1, 10, "purchase", 50.0625),   # *2 = 100.125: HALF_EVEN -> 100.12
+        # NaN: KEPT by all tiers (NOT (value < 50)), and its boosted
+        # value normalizes to NULL on all tiers — the Python tiers' Arrow
+        # boundary maps float NaN to null (pandas null sentinel), so the
+        # expression tier nanvl()s to match
+        (2, 10, "purchase", float("nan")),
+        (3, 10, "purchase", 49.99),     # dropped by all tiers
+        (4, 10, "purchase", 50.0),      # boundary keep
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value"]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("boosted_value", T.DoubleType()),
+        ]
+    )
+
+    def canon(df_):
+        out = {}
+        for r in df_.collect():
+            v = r["boosted_value"]
+            out[r["event_id"]] = (
+                "nan" if v is not None and math.isnan(v) else v
+            )
+        return out
+
+    row_t = canon(apply_spell(
+        df, Spell(name="b", cast=_boost_cast, topic="purchase"),
+        schema, topic_col="event_type"))
+    vec_t = canon(apply_spell(
+        df, Spell(name="bv", cast=_boost_cast_vectorized, topic="purchase",
+                  vectorized=True),
+        schema, topic_col="event_type"))
+    expr_t = canon(apply_spell(df, BOOST_EXPR_SPELL, schema,
+                               topic_col="event_type"))
+    assert row_t == vec_t == expr_t
+    assert set(row_t) == {1, 2, 4}
+    assert row_t[1] == 100.12  # HALF_EVEN, not 100.13
+    assert row_t[2] is None  # NaN event kept, value normalized to null
+
+
+def test_expression_spell_rejects_loop_mode(spark):
+    """loop_spell with an ExpressionSpell must fail loudly instead of
+    silently returning single-cast, n_casts-free output."""
+    import pytest
+
+    from sanctum_spark.queries.spells_q import BOOST_EXPR_SPELL
+    from sanctum_spark.spells import loop_spell
+
+    df = spark.createDataFrame([(1, "purchase", 60.0)],
+                               ["event_id", "event_type", "value"])
+    with pytest.raises(ValueError, match="mode='cast' only"):
+        loop_spell(df, BOOST_EXPR_SPELL, None, topic_col="event_type")

@@ -613,3 +613,27 @@ def test_streaming_cep_equal_timestamp_ties(spark, tmp_path):
         for r in spark.table(name).collect()
     }
     assert got == batch
+
+
+def test_expression_spell_streams_equal_batch(spark, sf_dir, staged):
+    """The zero-Python expression tier is pure Catalyst filter+project,
+    so the SAME ExpressionSpell applies unchanged to a streaming
+    DataFrame — pin that the streamed result equals the batch result
+    (the new tier must not be batch-only)."""
+    from sanctum_spark.queries.spells_q import BOOST_EXPR_SPELL
+    from sanctum_spark.spells import apply_expression_spell
+
+    stream = SRC.events_file_stream(spark, staged)
+    out = apply_expression_spell(stream, BOOST_EXPR_SPELL, "event_type")
+    assert out.isStreaming
+    name = f"exprspell_{uuid.uuid4().hex[:8]}"
+    _drain(out, name)
+    got = sorted(tuple(r) for r in spark.table(name).collect())
+
+    ev = load_table(spark, sf_dir, "events")
+    want = sorted(
+        tuple(r)
+        for r in apply_expression_spell(ev, BOOST_EXPR_SPELL, "event_type")
+        .collect()
+    )
+    assert got == want and len(got) > 0

@@ -119,12 +119,13 @@ def main() -> None:
 
     # subset runs must not clobber the canonical full-registry evidence;
     # non-default sf dirs get their own file for the same reason (a full
-    # sf0.1 run once overwrote the canonical sf0.01 evidence)
+    # sf0.1 run once overwrote the canonical sf0.01 evidence), and the
+    # two suffixes compose so a non-default partial run can't clobber a
+    # default partial run either
+    base = os.path.basename(sf_dir.rstrip("/"))
+    suffix = "" if base == "sf0.01" else f"_{base}"
     if only:
-        suffix = "_partial"
-    else:
-        base = os.path.basename(sf_dir.rstrip("/"))
-        suffix = "" if base == "sf0.01" else f"_{base}"
+        suffix += "_partial"
     out = os.path.join(REPO, "tools", f"verify_local_out{suffix}.json")
     results["__meta__"] = {  # type: ignore[assignment]
         "duckdb_version": duckdb.__version__,
