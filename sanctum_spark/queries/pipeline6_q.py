@@ -875,14 +875,16 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE n_chars > 0
     ), ranked AS (
         SELECT lang, doc_id,
-               ROUND(es_key + 1e-12, 9) AS es_key_r,
+               CAST(FLOOR(es_key * 1000000000.0 + 0.5 + 1e-9) AS BIGINT)
+                   AS es_key_e9,
                ROW_NUMBER() OVER (
                    PARTITION BY lang
-                   ORDER BY ROUND(es_key + 1e-12, 9) DESC, doc_id
+                   ORDER BY CAST(FLOOR(es_key * 1000000000.0 + 0.5 + 1e-9)
+                                 AS BIGINT) DESC, doc_id
                ) AS rn
         FROM keyed
     )
-    SELECT lang, doc_id, es_key_r AS es_key, CAST(rn AS BIGINT) AS rn
+    SELECT lang, doc_id, es_key_e9, CAST(rn AS BIGINT) AS rn
     FROM ranked WHERE rn <= 10
     """,
     doc=(
@@ -893,26 +895,30 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample. The top-k-by-key formulation is exactly why A-ES "
         "distributes: no sequential reservoir, just a per-group rank — "
         "WindowGroupLimit prunes losers map-side before the shuffle. "
-        "Rank on the ROUNDED key (9 dp) with doc_id tiebreak so libm "
-        "ulp differences between engines cannot flip selections."
+        "Rank on the key at INTEGER e9 grain (floor(x*1e9+0.5+eps) as "
+        "BIGINT, r6 — the prior ROUND(x,9) double pin was the finest "
+        "rounded-double in the registry, i.e. the largest exposure to "
+        "the build-dependent decimal-round representation channel) with "
+        "doc_id tiebreak so libm ulp differences between engines can "
+        "neither flip selections nor reach the value hash."
     ),
 )
 def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.queries.util import int_grain
+
     docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     u = (_u16_spark() + 0.5) / 65536.0
-    es_key = F.round(
-        F.log(u) / F.col("n_chars") + F.lit(1e-12), 9
-    )
+    es_key_e9 = int_grain(F.log(u) / F.col("n_chars"), 9)
     ranked = docs.select(
-        "lang", "doc_id", es_key.alias("es_key")
+        "lang", "doc_id", es_key_e9.alias("es_key_e9")
     ).withColumn(
         "rn",
         F.row_number().over(
-            W.partitionBy("lang").orderBy(F.desc("es_key"), F.asc("doc_id"))
+            W.partitionBy("lang").orderBy(F.desc("es_key_e9"), F.asc("doc_id"))
         ),
     )
     return ranked.filter(F.col("rn") <= 10).select(
-        "lang", "doc_id", "es_key", F.col("rn").cast("long").alias("rn")
+        "lang", "doc_id", "es_key_e9", F.col("rn").cast("long").alias("rn")
     )
 
 
