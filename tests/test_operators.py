@@ -381,6 +381,17 @@ def test_resize_images_shapes(spark, sf_dir):
         assert len(bytes(r["payload"])) == 4 * 4 * 3  # HxWxC uint8
 
 
+def test_approx_distinct_accuracy(spark, sf_dir):
+    """q26's HLL++ estimate must sit within its configured rsd=0.02 of
+    the exact per-group distinct count it emits alongside (5% ceiling
+    leaves headroom for the sketch's tail probability)."""
+    from sanctum_spark.queries.relational2 import q26
+
+    for r in q26(spark, sf_dir).collect():
+        rel = abs(r["approx_parts"] - r["exact_parts"]) / r["exact_parts"]
+        assert rel < 0.05, r
+
+
 def test_hll_union_accuracy(spark, sf_dir):
     """Unioned per-group HLL sketches must estimate the global distinct
     count within the sketch's error bound (~2% at default lgConfigK)."""
