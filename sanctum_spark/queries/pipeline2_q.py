@@ -415,7 +415,10 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step of data validation. Bin arithmetic is the identical IEEE "
         "expression ((v-lo)*10/(hi-lo), floor, clamp) on both engines, "
         "so bucket assignment is exactly reproducible; degenerate "
-        "constant groups collapse to bin 0 via the NULLIF guard."
+        "constant groups (hi == lo) collapse to bin 9: the NULLIF guard "
+        "turns the bin expression NULL and LEAST(NULL, 9) skips NULLs on "
+        "both engines — never a divide error (pinned in "
+        "tests/test_edge_invariants_b6.py)."
     ),
 )
 def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
