@@ -405,7 +405,15 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY event_type
     """,
-    doc="dispersion aggregates: stddev/variance/covariance/correlation.",
+    doc=(
+        "dispersion aggregates: stddev/variance/covariance/correlation. "
+        "corr is computed as try_divide(covar_pop, sx_pop*sy_pop) — "
+        "mathematically identical to corr() (the 1/n factors cancel) but "
+        "a zero-variance group yields NULL instead of the ANSI "
+        "DIVIDE_BY_ZERO raw F.corr throws (the q88 landmine; DuckDB corr "
+        "returns NULL on the same input, pinned in "
+        "tests/test_edge_invariants_b8.py)."
+    ),
 )
 def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -414,7 +422,13 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.stddev_samp("value"), 4).alias("sd"),
         stable_round(F.var_samp("value"), 4).alias("var"),
         stable_round(F.covar_samp(F.col("value"), k), 4).alias("cov_vk"),
-        stable_round(F.corr(F.col("value"), k), 6).alias("corr_vk"),
+        stable_round(
+            F.try_divide(
+                F.covar_pop(F.col("value"), k),
+                F.stddev_pop("value") * F.stddev_pop(k),
+            ),
+            6,
+        ).alias("corr_vk"),
     )
 
 

@@ -1256,7 +1256,7 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
            ROUND(1.0 - COUNT(DISTINCT digest) * 1.0 / COUNT(*) + 1e-9, 6)
                AS exact_dup_rate,
-           CAST(quantile_cont(n_tokens, 0.5) AS BIGINT) AS p50_tokens,
+           CAST(floor(quantile_cont(n_tokens, 0.5)) AS BIGINT) AS p50_tokens,
            CAST(MIN(n_chars) AS BIGINT) AS min_chars,
            CAST(MAX(n_chars) AS BIGINT) AS max_chars
     FROM t
@@ -1291,7 +1291,13 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(
             1.0 - F.countDistinct("digest") / F.count(F.lit(1)), 6
         ).alias("exact_dup_rate"),
-        F.percentile("n_tokens", F.lit(0.5)).cast("long").alias("p50_tokens"),
+        # floor() explicitly on BOTH engines: a bare BIGINT cast of the
+        # interpolated median diverges on fractional values (DuckDB CAST
+        # rounds 3.5 -> 4, Spark cast truncates -> 3; pinned in
+        # tests/test_edge_invariants_b8.py)
+        F.floor(F.percentile("n_tokens", F.lit(0.5)))
+        .cast("long")
+        .alias("p50_tokens"),
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
