@@ -85,8 +85,12 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("double")
     def self_weighted(v: pd.Series) -> float:
-        # value-weighted mean of value: sum(v^2)/sum(v)
-        return float((v * v).sum() / v.sum())
+        # value-weighted mean of value: sum(v^2)/sum(v). NULL on a
+        # zero-sum group: DuckDB double x/0 is NULL, numpy would give
+        # inf (mixed-sign zero-sum) or nan — returning None keeps the
+        # UDF oracle-identical on the degenerate group.
+        s = float(v.sum())
+        return None if s == 0.0 else float((v * v).sum() / s)
 
     return ev.groupBy("user_id").agg(
         stable_round(self_weighted("value"), 4).alias("self_weighted")

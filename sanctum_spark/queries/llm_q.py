@@ -142,8 +142,15 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     joined = cand.crossJoin(F.broadcast(qvec))
-    sim = dot(F.col("vec"), F.col("qvec")) / (
-        F.sqrt(dot(F.col("vec"), F.col("vec"))) * F.sqrt(dot(F.col("qvec"), F.col("qvec")))
+    # try_divide: a zero-norm embedding yields NULL cosine (ranked last
+    # by DESC on both engines) instead of the ANSI DIVIDE_BY_ZERO a raw
+    # `/` throws — DuckDB double division by zero is NULL, so raw `/`
+    # here is a crash on Spark AND a divergence in the oracle pairing
+    # (pinned in tests/test_edge_invariants_b8.py).
+    sim = F.try_divide(
+        dot(F.col("vec"), F.col("qvec")),
+        F.sqrt(dot(F.col("vec"), F.col("vec")))
+        * F.sqrt(dot(F.col("qvec"), F.col("qvec"))),
     )
     return (
         joined.select("vec_id", "label", F.round(sim, 5).alias("cos_sim"))

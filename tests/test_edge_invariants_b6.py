@@ -82,6 +82,9 @@ def test_q73_topk_tie_at_cutoff(spark, tmp_path):
     for vid in (8, 9, 10, 11, 12):
         rows.append((vid, [3.0, 0.0], 0))   # cos exactly 1.0
     rows += [(5, [1.0, 1.0], 1), (6, [0.0, 1.0], 1), (7, [-1.0, 0.0], 1)]
+    # zero-norm candidate: NULL cosine on both engines (ranked last by
+    # DESC), never an ANSI DIVIDE_BY_ZERO — the raw-`/` crash fixed in r6
+    rows.append((13, [0.0, 0.0], 1))
     sf = _write_embeddings(tmp_path, rows)
     got, want = _both_tbl(spark, sf, "q73_cosine_topk", "embeddings")
     pd.testing.assert_frame_equal(got, want)
