@@ -411,25 +411,31 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "dispersion aggregates: stddev/variance/covariance/correlation. "
-        "corr is computed as try_divide(covar_pop, sx_pop*sy_pop) — "
-        "mathematically identical to corr() (the 1/n factors cancel) but "
-        "a zero-variance group yields NULL instead of the ANSI "
-        "DIVIDE_BY_ZERO raw F.corr throws (the q88 landmine; DuckDB corr "
-        "returns NULL on the same input, pinned in "
-        "tests/test_edge_invariants_b8.py)."
+        "corr is computed as try_divide(covar_pop, sx_pop*sy_pop) over "
+        "PAIRWISE-COMPLETE inputs (each stddev sees only rows where BOTH "
+        "columns are non-null, the same deletion corr() applies) — "
+        "identical to corr() on every input but a zero-variance group "
+        "yields NULL instead of the ANSI DIVIDE_BY_ZERO raw F.corr "
+        "throws (the q88 landmine; DuckDB corr returns NULL on the same "
+        "input, pinned in tests/test_edge_invariants_b8.py)."
     ),
 )
 def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
+    # pairwise deletion: corr() drops a row when EITHER side is null;
+    # stddev_pop over the raw column would instead use that column's own
+    # non-null rows and diverge from the oracle on mixed-null groups
+    both = F.col("value").isNotNull() & k.isNotNull()
+    vp = F.when(both, F.col("value"))
+    kp = F.when(both, k)
     return ev.groupBy("event_type").agg(
         stable_round(F.stddev_samp("value"), 4).alias("sd"),
         stable_round(F.var_samp("value"), 4).alias("var"),
         stable_round(F.covar_samp(F.col("value"), k), 4).alias("cov_vk"),
         stable_round(
             F.try_divide(
-                F.covar_pop(F.col("value"), k),
-                F.stddev_pop("value") * F.stddev_pop(k),
+                F.covar_pop(vp, kp), F.stddev_pop(vp) * F.stddev_pop(kp)
             ),
             6,
         ).alias("corr_vk"),

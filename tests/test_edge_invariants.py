@@ -26,8 +26,9 @@ HOUR_US = 3600 * US
 
 
 def _write_events(tmp_path, rows):
-    """rows: (event_id, ts_us_epoch, user_id, event_type, value).  Writes
-    the same naive timestamp[us] encoding the generated testdata uses."""
+    """rows: (event_id, ts_us_epoch, user_id, event_type, value[, props]).
+    Writes the same naive timestamp[us] encoding the generated testdata
+    uses; props defaults to '{}' when a row omits it."""
     tbl = pa.table(
         {
             "event_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -35,7 +36,9 @@ def _write_events(tmp_path, rows):
             "user_id": pa.array([r[2] for r in rows], pa.int64()),
             "event_type": pa.array([r[3] for r in rows], pa.string()),
             "value": pa.array([float(r[4]) for r in rows], pa.float64()),
-            "props": pa.array(["{}" for _ in rows], pa.string()),
+            "props": pa.array(
+                [r[5] if len(r) > 5 else "{}" for r in rows], pa.string()
+            ),
         }
     )
     pq.write_table(tbl, str(tmp_path / "events.parquet"))
@@ -223,14 +226,16 @@ def _write_lineitem(tmp_path, prices):
 
 
 def _both_tbl(spark, sf_dir, name, table):
-    """Like _both but for a non-events table fixture."""
+    """Like _both but for a non-events fixture; ``table`` is one view
+    name or a list of names (queries joining several fixtures)."""
     q = qreg.REGISTRY[name]
     got = q.fn(spark, sf_dir).toPandas()
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW {table} AS SELECT * FROM "
-        f"read_parquet('{sf_dir}/{table}.parquet')"
-    )
+    for t in [table] if isinstance(table, str) else table:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
     want = con.sql(q.oracle).df()
 
     def canon(df: pd.DataFrame) -> pd.DataFrame:

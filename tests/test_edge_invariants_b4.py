@@ -16,38 +16,18 @@ from __future__ import annotations
 
 import hashlib
 
-import duckdb
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-import sanctum_spark.queries as qreg
 from test_edge_invariants import US, _both, _both_tbl, _write_docs, _write_events
-
-qreg.load_all_modules()
-
-
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1).astype(str)
-    if len(df) == 0:
-        return df.reset_index(drop=True)
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
 def _both_multi(spark, sf_dir, name, tables):
-    """Like test_edge_invariants._both_tbl but registers SEVERAL table
-    views (for queries joining two fixtures, e.g. events x orders)."""
-    q = qreg.REGISTRY[name]
-    got = q.fn(spark, sf_dir).toPandas()
-    con = duckdb.connect()
-    for t in tables:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
-        )
-    want = con.sql(q.oracle).df()
-    return _canon(got), _canon(want)
+    """Alias of test_edge_invariants._both_tbl with a view list (kept
+    for the batch 5-8 imports)."""
+    return _both_tbl(spark, sf_dir, name, tables)
 
 
 _NULLISH = {"nan", "None", "<NA>", "NaT"}

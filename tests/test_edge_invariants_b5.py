@@ -63,7 +63,7 @@ def test_q92_quality_gate_boundaries(spark, tmp_path):
     len99 = " ".join(["t" * 9] * 9 + ["u" * 9])
     assert len(len99) == 99
     tok9 = " ".join(["v" * 10] * 9)  # 9 tokens, len 98 -> pad to 100
-    tok9 = tok9 + " "[:0] + "x" * (100 - len(tok9) - 1) + "y"  # still 9 tokens
+    tok9 = tok9 + "x" * (100 - len(tok9) - 1) + "y"  # still 9 tokens
     assert len(tok9) == 100 and len(tok9.split()) == 9
     big = " ".join(["w" * 9] * 9 + ["z" * (20000 - 90)])
     assert len(big) == 20000

@@ -173,9 +173,11 @@ def test_q113_lateral_top3_tie(spark, tmp_path):
     # ones from the smallest generated fixture set.
     import shutil
 
+    from conftest import SF_DIR
+
     for t in ("region", "nation", "supplier", "part", "lineitem",
               "events", "documents", "embeddings"):
-        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", tmp_path)
+        shutil.copy(f"{SF_DIR}/{t}.parquet", tmp_path)
     _write_customer_fk(tmp_path, [(1, 0), (2, 0), (3, 0), (4, 0)])
     _write_orders(
         tmp_path,

@@ -28,20 +28,7 @@ from test_edge_invariants_b4 import _NULLISH
 HOUR = 3600 * US
 
 
-def _write_events_props(tmp_path, rows):
-    """rows: (event_id, ts_us, user_id, event_type, value, props_json)."""
-    tbl = pa.table(
-        {
-            "event_id": pa.array([r[0] for r in rows], pa.int64()),
-            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
-            "user_id": pa.array([r[2] for r in rows], pa.int64()),
-            "event_type": pa.array([r[3] for r in rows], pa.string()),
-            "value": pa.array([float(r[4]) for r in rows], pa.float64()),
-            "props": pa.array([r[5] for r in rows], pa.string()),
-        }
-    )
-    pq.write_table(tbl, str(tmp_path / "events.parquet"))
-    return str(tmp_path)
+_write_events_props = _write_events  # base writer takes optional props
 
 
 def _write_lineitem_qty(tmp_path, rows):
@@ -72,6 +59,15 @@ def test_q89_dispersion_degenerate_groups(spark, tmp_path):
     rows.append((eid := eid + 1, t, 2, "single", 7.0, json.dumps({"k": 4})))
     for i, k in enumerate([1, 2, 3]):
         rows.append((eid := eid + 1, t + i, 3, "perfect", float(k), json.dumps({"k": k})))
+    # mixed: 3 keyed rows on a perfect line plus 2 rows WITHOUT $.k —
+    # corr applies pairwise deletion (k-null rows invisible to it), so
+    # corr stays exactly 1.0 while sd/var span all 5 rows.  A stddev
+    # computed over the raw column here would see the extremes and
+    # deflate corr (the review-confirmed pairwise-deletion defect).
+    for i, (v, k) in enumerate([(1.0, 1), (2.0, 2), (3.0, 3)]):
+        rows.append((eid := eid + 1, t + i, 4, "mixed", v, json.dumps({"k": k})))
+    rows.append((eid := eid + 1, t + 10, 4, "mixed", 100.0, "{}"))
+    rows.append((eid := eid + 1, t + 11, 4, "mixed", -100.0, "{}"))
     sf = _write_events_props(tmp_path, rows)
     got, want = _both(spark, sf, "q89_dispersion")
     pd.testing.assert_frame_equal(got, want)
@@ -83,6 +79,8 @@ def test_q89_dispersion_degenerate_groups(spark, tmp_path):
     assert all(s[col] in _NULLISH for col in ("sd", "var", "cov_vk", "corr_vk"))
     p = by_type["perfect"]
     assert p[["sd", "var", "cov_vk", "corr_vk"]].tolist() == ["1.0", "1.0", "1.0", "1.0"]
+    m = by_type["mixed"]
+    assert m["corr_vk"] == "1.0"  # pairwise-complete rows only
 
 
 def test_q88_null_corr_ranks_last(spark, tmp_path):
