@@ -175,7 +175,15 @@ def embedding_near_duplicates(
     """
     if lsh is None:
         if dim is None:
-            dim = len(df.select(vec_col).first()[0])
+            head = df.select(vec_col).first()
+            if head is None:
+                # empty corpus: zero pairs by definition — and no vector
+                # to infer the plane dimensionality from (an empty ingest
+                # day must not crash the dedup pass)
+                return df.sparkSession.createDataFrame(
+                    [], "id_a bigint, id_b bigint, cos_sim double"
+                )
+            dim = len(head[0])
         lsh = sized_lsh(df.count(), dim, target_bucket, n_tables)
     bands = max(n_tables, 1)
     width = lsh.n_planes // bands
@@ -434,7 +442,12 @@ def pq_train(
     compression for 64-dim float32, which is what makes a corpus-wide ANN
     index driver- and executor-resident at scale.
     """
-    dim = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).first()
+    if head is None:
+        raise ValueError(
+            "pq_train: empty training corpus — train on a non-empty sample"
+        )
+    dim = len(head[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m

@@ -174,10 +174,10 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:  # empty corpus: no query vector, empty top-k
+        return spark.createDataFrame([], "vec_id bigint, cos_sim double")
+    qvec = [float(x) for x in qrow[0]]
     lsh = S.RandomHyperplaneLSH(dim=len(qvec), n_planes=6, seed=42)
     bucketized = lsh.bucketize(emb.filter(F.col("vec_id") != 0))
     return lsh.topk(bucketized, qvec, k=10, n_probes=8)

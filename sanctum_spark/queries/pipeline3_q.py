@@ -39,7 +39,10 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctum_spark.operators.similarity import pq_adc_topk, pq_encode, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    if qrow is None:  # empty corpus: no query vector, empty top-k
+        return spark.createDataFrame([], "vec_id bigint, adc_dist double")
+    qvec = [float(x) for x in qrow["embedding"]]
     corpus = emb.filter(F.col("vec_id") != 0)
     # sampled training (deterministic quarter-slice), full-corpus encoding —
     # the documented 100 TB split between the train and index passes.

@@ -1288,8 +1288,12 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
         F.countDistinct("source").cast("long").alias("n_sources"),
+        # try_divide: on an EMPTY corpus count is 0 and a raw `/` aborts
+        # under ANSI; DuckDB's 0/0 is NULL, so the dup rate is NULL on
+        # both engines (empty-input sweep, EVIDENCE_r6.md)
         stable_round(
-            1.0 - F.countDistinct("digest") / F.count(F.lit(1)), 6
+            1.0 - F.try_divide(F.countDistinct("digest"), F.count(F.lit(1))),
+            6,
         ).alias("exact_dup_rate"),
         # floor() explicitly on BOTH engines: a bare BIGINT cast of the
         # interpolated median diverges on fractional values (DuckDB CAST

@@ -163,7 +163,10 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctum_spark.operators.similarity import ivf_assign, ivf_topk, ivf_train
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    if qrow is None:  # empty corpus: no query vector, empty top-k
+        return spark.createDataFrame([], "vec_id bigint, cos_sim double")
+    qvec = [float(x) for x in qrow["embedding"]]
     corpus = emb.filter(F.col("vec_id") != 0)
     # train the coarse quantizer on a deterministic quarter-slice — the
     # documented 100 TB design (sampled training, full-corpus assignment);

@@ -360,7 +360,14 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
-    doc="rollup hierarchy totals (Expand operator in Spark).",
+    doc=(
+        "rollup hierarchy totals (Expand operator in Spark). Known "
+        "engine divergence on EMPTY input only (q31/q32 likewise): the "
+        "SQL standard's () grouping set yields one grand-total row "
+        "(COUNT 0) on an empty table — DuckDB emits it, Spark's "
+        "rollup/cube/groupingSets emit zero rows. Documented, pinned in "
+        "tests/test_empty_input.py; irrelevant on any non-empty input."
+    ),
 )
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
