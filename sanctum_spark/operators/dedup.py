@@ -666,6 +666,10 @@ def segment_dedup_profile(
     128-bit digest); ``hashed=False`` keeps the string key so an SQL
     oracle can replay the result exactly (q144).
     """
+    # NULL text has no segments: without this, size(NULL) poisons the
+    # sequence bounds and fabricates phantom segments (r6 null-row sweep);
+    # the SQL oracle's `i*w < len(t)` predicate drops these docs the same way
+    docs = docs.filter(F.col(text_col).isNotNull())
     toks = F.split(F.trim(F.lower(text_col)), r"\s+")
     # per-doc segment cap (matches the q144 oracle's range(0, 200) and
     # the q142 window-cap convention): a pathological mega-document

@@ -205,6 +205,9 @@ def repetition_profile(
     """
     from sanctum_spark.operators.dedup import _let
 
+    # NULL text has no repetition profile on either engine (r6 null-row
+    # sweep; the oracle drops these docs via WHERE text IS NOT NULL)
+    df = df.filter(F.col(text_col).isNotNull())
     c = F.col(text_col)
 
     def metrics(toks: Column) -> Column:

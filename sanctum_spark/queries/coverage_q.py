@@ -104,7 +104,7 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(e.value / e.n, 2) AS share
     FROM (
         SELECT event_id, value,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 + 1 AS n
+               CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT) % 3 + 1 AS n
         FROM events
     ) e
     JOIN (SELECT UNNEST([1, 2, 3]) AS i) s ON s.i <= e.n
@@ -142,6 +142,10 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {"event_id": [], "copy_idx": [], "share": []}
             for row in pdf.to_dict("records"):
+                if row["n_copies"] is None or pd.isna(row["n_copies"]):
+                    # missing/malformed $.k: no fan-out — matches the
+                    # oracle's `s.i <= e.n` dropping NULL n rows
+                    continue
                 n = int(row["n_copies"])
                 share = round_half_away(row["value"] / n, 2)
                 for i in range(1, n + 1):
@@ -401,10 +405,12 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(stddev_samp(value) + 1e-9, 4)       AS sd,
            ROUND(var_samp(value) + 1e-9, 4)          AS var,
            ROUND(covar_samp(value,
-                 CAST(json_extract_string(props, '$.k') AS BIGINT)) + 1e-9, 4)
+                 CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
+                      AS BIGINT)) + 1e-9, 4)
                                                      AS cov_vk,
            ROUND(corr(value,
-                 CAST(json_extract_string(props, '$.k') AS BIGINT)) + 1e-9, 6)
+                 CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
+                      AS BIGINT)) + 1e-9, 6)
                                                      AS corr_vk
     FROM events
     GROUP BY event_type

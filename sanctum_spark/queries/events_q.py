@@ -45,7 +45,7 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q61_json_props",
     """
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+    SELECT CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT) AS k,
            COUNT(*)             AS n,
            ROUND(AVG(value) + 1e-9, 4) AS avg_value
     FROM events

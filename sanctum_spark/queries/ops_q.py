@@ -133,7 +133,11 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
            -- argmax(score, lang) with Spark's struct-max tie-break:
            -- highest score, ties to the lexicographically GREATEST lang
-           CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+           -- NULL text scores no language: every s_* is NULL and the
+           -- comparisons fall through to ELSE 'de' — pin 'und' explicitly
+           -- (Spark's profile already yields 'und'; r6 null-row sweep)
+           CASE WHEN text IS NULL THEN 'und'
+                WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
                 WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
                 WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
                 WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
@@ -143,7 +147,11 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(0.4 * least(length(text) / 500.0, 1.0)
                + 0.3 * (CASE WHEN mw >= 3.0 AND mw <= 10.0 THEN 1.0 ELSE 0.5 END)
                + 0.3 * (1.0 - least(praw * 5.0, 1.0)), 6) AS quality,
-           list_reduce(list_prepend('', ltoks), (acc, tk) -> md5(acc || tk))
+           -- NULL text: NULL fingerprint (list_prepend('', NULL) would
+           -- fold to '' and diverge from Spark's NULL; r6 null-row sweep)
+           CASE WHEN text IS NULL THEN NULL
+                ELSE list_reduce(list_prepend('', ltoks),
+                                 (acc, tk) -> md5(acc || tk)) END
                AS fingerprint
     FROM s
     """,
@@ -195,6 +203,7 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 16.0) / 255.0
            AS REAL)::DOUBLE + 1e-9, 6) AS f0
     FROM documents
+    WHERE text IS NOT NULL
     """,
     doc=(
         "multimodal plumbing: documents' bytes as opaque binary payloads → "
@@ -209,8 +218,13 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctum_spark.queries.util import stable_round
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("blob")
+    # a NULL payload has no bytes/features: both engines skip it (also
+    # keeps n_bytes int64 — one NULL row would flip the oracle's pandas
+    # dtype to float64 and break the string hash for EVERY row)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.encode("text", "utf-8").alias("blob"))
     )
     media = M.attach_media_columns(docs, "blob", "image", "doc_id")
     feats = M.extract_features(media, fake_decode=True)

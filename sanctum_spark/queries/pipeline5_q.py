@@ -54,9 +54,13 @@ SESSION_GAP_NS = 1_800_000_000_000  # 30 min, exact nanos (q62 convention)
            CAST(session_id AS BIGINT) AS session_id,
            COUNT(*) AS n_events,
            CAST(MAX(ts_ns) - MIN(ts_ns) AS BIGINT) AS duration_ns,
-           array_to_string(
+           -- COALESCE: a session whose every event_type is NULL gives a
+           -- NULL list -> NULL string in DuckDB, while Spark's concat_ws
+           -- yields '' (both engines SKIP null elements in mixed lists,
+           -- so only the all-null case needs the pin; r6 null-row sweep)
+           COALESCE(array_to_string(
                list_slice(list(event_type ORDER BY ts_ns, event_id), 1, 20),
-               '>') AS seq
+               '>'), '') AS seq
     FROM sess
     GROUP BY user_id, session_id
     """,

@@ -250,6 +250,7 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id, event_type AS key, COUNT(*) * 2 AS doubled
     FROM events
+    WHERE event_type IS NOT NULL
     GROUP BY user_id, event_type
     HAVING COUNT(*) >= 10
     """,
@@ -262,7 +263,11 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL event_type cannot be a map key (Spark NULL_MAP_KEY); the map
+    # surface covers the non-null types on both engines
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     counts = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -556,6 +561,7 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            ROUND(SUM(value) / COUNT(*) + 1e-9, 4) AS avg_value
     FROM events
+    WHERE event_type IS NOT NULL
     GROUP BY user_id, event_type
     HAVING COUNT(*) >= 12
     """,
@@ -569,7 +575,10 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL event_type cannot be a map key (see q97)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     per = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
     )
@@ -653,6 +662,7 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
         FROM documents
+        WHERE text IS NOT NULL
     ),
     cnt AS (
         SELECT doc_id, COUNT(*) AS c

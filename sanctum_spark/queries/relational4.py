@@ -22,8 +22,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     SELECT k AS prop_key,
            COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS BIGINT) AS total
-    FROM (SELECT props, UNNEST(json_keys(props)) AS k FROM events) t
+           CAST(SUM(CAST(json_extract_string(TRY_CAST(props AS JSON), '$.' || k) AS BIGINT)) AS BIGINT) AS total
+    FROM (SELECT props, UNNEST(json_keys(TRY_CAST(props AS JSON))) AS k FROM events) t
     GROUP BY k
     """,
     doc=(

@@ -27,7 +27,12 @@ from sanctum_spark.spells import ExpressionSpell, Spell, apply_spell, loop_spell
 #   not `value >= 50`: NaN < 50 is false in Lua/Python/pandas/Spark/
 #   DuckDB alike, so a NaN event is KEPT by every tier, while
 #   `value >= 50` would also keep it in Spark (NaN sorts above all)
-#   but drop it in pandas — `NOT (value < 50)` agrees everywhere;
+#   but drop it in pandas — `NOT (value < 50)` agrees everywhere; and
+#   a NULL value must be kept EXPLICITLY (`value IS NULL OR ...`): the
+#   Arrow boundary renders SQL NULL as pandas NaN, so the Python tiers
+#   cannot distinguish them and keep both — a bare NOT(value<50) in
+#   Catalyst/SQL is three-valued and would silently drop the NULL rows
+#   the Python tiers emit (found by the r6 degenerate-row sweep);
 # - bround (HALF_EVEN), not round (HALF_UP), to match Python round()
 #   and pandas .round() on exact half-boundaries like 100.125;
 # - nanvl(..., NULL): the Python tiers' Arrow boundary normalizes float
@@ -37,7 +42,7 @@ from sanctum_spark.spells import ExpressionSpell, Spell, apply_spell, loop_spell
 #   instead of leaking a genuine NaN the other tiers cannot produce.
 BOOST_EXPR_SPELL = ExpressionSpell(
     name="boost_expr",
-    where="NOT (value < 50)",
+    where="(value IS NULL) OR NOT (value < 50)",
     project={
         "event_id": "event_id",
         "user_id": "user_id",
@@ -65,7 +70,7 @@ def _boost_cast(event: dict) -> dict | None:
     SELECT event_id, user_id, ROUND(value * 2, 2) AS boosted_value
     FROM events
     WHERE (event_type IS NULL OR event_type = 'purchase')
-      AND NOT (value < 50)
+      AND (value IS NULL OR NOT (value < 50))
     """,
     doc="distributed spell cast: topic-routed, 0..1 rows per event.",
 )
@@ -103,7 +108,7 @@ def _boost_cast_vectorized(pdf):
     SELECT event_id, user_id, ROUND(value * 2, 2) AS boosted_value
     FROM events
     WHERE (event_type IS NULL OR event_type = 'purchase')
-      AND NOT (value < 50)
+      AND (value IS NULL OR NOT (value < 50))
     """,
     doc="vectorized spell cast: same semantics as q80 on the columnar path.",
 )
@@ -138,8 +143,14 @@ def _decrement_cast(event: dict) -> dict | None:
     "q81_spell_loop",
     """
     SELECT event_id,
-           CAST(LEAST(GREATEST(CAST(json_extract_string(props, '$.k') AS BIGINT), 1),
-                      1000) AS BIGINT) AS n_casts
+           -- missing/malformed $.k: the counter spell cannot terminate, so
+           -- the loop runs to the reference's runaway bound (O7, 1000) —
+           -- NOT the GREATEST(NULL,1)=1 DuckDB would silently give
+           CASE WHEN json_extract_string(TRY_CAST(props AS JSON), '$.k') IS NULL
+                THEN 1000
+                ELSE CAST(LEAST(GREATEST(CAST(json_extract_string(
+                         TRY_CAST(props AS JSON), '$.k') AS BIGINT), 1),
+                      1000) AS BIGINT) END AS n_casts
     FROM events
     """,
     doc=(
