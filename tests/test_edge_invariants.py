@@ -35,7 +35,10 @@ def _write_events(tmp_path, rows):
             "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
             "user_id": pa.array([r[2] for r in rows], pa.int64()),
             "event_type": pa.array([r[3] for r in rows], pa.string()),
-            "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+            "value": pa.array(
+                [None if r[4] is None else float(r[4]) for r in rows],
+                pa.float64(),
+            ),
             "props": pa.array(
                 [r[5] if len(r) > 5 else "{}" for r in rows], pa.string()
             ),
