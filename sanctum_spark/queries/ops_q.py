@@ -196,7 +196,10 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id AS media_id,
            'image' AS modality,
-           CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+           -- encode(), not ::BLOB: the cast ERRORS on non-ASCII text
+           -- while encode() is the UTF-8 byte conversion Spark's
+           -- encode(text,'utf-8') performs (r6 unicode sweep)
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            ROUND(CAST(
                (list_sum(list_transform(range(0, 16),
                    i -> ('0x' || substr(md5(text || 'R'), 2*i+1, 2))::INT))

@@ -283,7 +283,12 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
         ">= length difference, so |len diff| <= 2 is exact, not a "
         "heuristic) over the DISTINCT'd vocabulary, which is bounded by "
         "corpus vocabulary, not corpus size; the distance UDF-free "
-        "levenshtein runs only on survivors. At a 10^6-word real vocab "
+        "levenshtein runs only on survivors. Known engine divergence on "
+        "NON-ASCII vocabulary only: Spark's levenshtein counts Unicode "
+        "code points (the intended semantics) while DuckDB's counts "
+        "BYTES, so the oracle pairing is exact for ASCII tokens and "
+        "diverges on multibyte ones (pinned in "
+        "tests/test_edge_invariants_b10.py; r6 unicode sweep). At a 10^6-word real vocab "
         "the pair space needs q-gram prefix filtering (EDJoin/PassJoin) "
         "before the verify — same candidates-then-verify shape as the "
         "MinHash family."

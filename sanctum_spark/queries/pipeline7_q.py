@@ -79,7 +79,10 @@ BM25_TOPK = 10
         "variants).  Pipeline: BLOCK on the exact (brand, type) keys — "
         "candidate pairs only ever form inside a block, so the fuzzy "
         "predicate never sees the cross product — then a cheap "
-        "length-delta pre-filter, then JVM levenshtein on survivors, "
+        "length-delta pre-filter, then JVM levenshtein on survivors "
+        "(code-point distance — DuckDB's levenshtein counts BYTES, so "
+        "the oracle pairing is exact for the ASCII part catalog and "
+        "diverges on multibyte names; see q115's note), "
         "then transitive closure via the shared connected-components "
         "operator (A~B, B~C must land in one entity), then one grouped "
         "aggregate per entity.  Scale shape: the block self-join "
