@@ -65,6 +65,17 @@ def sql_money_round(expr: str, scale: int = 2) -> str:
 # MUST be wrapped in CAST(... AS BIGINT) — DuckDB returns HUGEINT, which
 # pandas materializes as float64 and the driver's stringified value hash
 # sees as "600.0" != "600" (the r4/r5 q131/q141 gate failures).
+#
+# DOMAIN (r6 extreme-value sweep): a scale-s grain requires
+# |x| * 10^s < 2^63 (~9.2e18) — beyond that DuckDB's BIGINT cast ERRORS
+# while Spark overflows/errors separately (observed: q153's DTW-cost
+# oracle on a 1e15-magnitude daily sum).  Likewise the ROUND(x+eps, n)
+# double pins only stabilize representation for |x| small enough that
+# one ulp < 10^-n; at |x| >= ~1e12 engine summation-order ulps exceed
+# the decimal grain and the stringified doubles may differ in the last
+# digit (observed: q89 var at 1e27, q100 avg at 1e11 — both engines
+# correct, the PIN loses meaning).  Values at these magnitudes are out
+# of the pins' domain; the queries themselves remain well-defined.
 # ---------------------------------------------------------------------------
 
 
