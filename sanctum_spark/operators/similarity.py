@@ -179,9 +179,20 @@ def embedding_near_duplicates(
             if head is None:
                 # empty corpus: zero pairs by definition — and no vector
                 # to infer the plane dimensionality from (an empty ingest
-                # day must not crash the dedup pass)
+                # day must not crash the dedup pass).  Schema derives from
+                # the caller's id column type, not a hardcoded bigint.
+                from pyspark.sql import types as T
+
+                id_type = df.schema[id_col].dataType
                 return df.sparkSession.createDataFrame(
-                    [], "id_a bigint, id_b bigint, cos_sim double"
+                    [],
+                    T.StructType(
+                        [
+                            T.StructField("id_a", id_type),
+                            T.StructField("id_b", id_type),
+                            T.StructField("cos_sim", T.DoubleType()),
+                        ]
+                    ),
                 )
             dim = len(head[0])
         lsh = sized_lsh(df.count(), dim, target_bucket, n_tables)

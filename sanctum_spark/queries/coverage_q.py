@@ -12,7 +12,7 @@ from pyspark.sql import types as T
 
 from sanctum_spark.io import load_table
 from sanctum_spark.queries import register
-from sanctum_spark.queries.util import stable_round
+from sanctum_spark.queries.util import sql_json_int, stable_round
 
 
 @register(
@@ -99,12 +99,12 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q84_spell_fanout_udtf",
-    """
+    f"""
     SELECT e.event_id, CAST(s.i AS BIGINT) AS copy_idx,
            ROUND(e.value / e.n, 2) AS share
     FROM (
         SELECT event_id, value,
-               CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT) % 3 + 1 AS n
+               {sql_json_int("props", "'$.k'")} % 3 + 1 AS n
         FROM events
     ) e
     JOIN (SELECT UNNEST([1, 2, 3]) AS i) s ON s.i <= e.n
@@ -119,7 +119,7 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "value",
-        (F.get_json_object("props", "$.k").cast("long") % 3 + 1).alias("n_copies"),
+        (F.get_json_object("props", "$.k").try_cast("long") % 3 + 1).alias("n_copies"),
     )
     schema = T.StructType(
         [
@@ -147,7 +147,14 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # oracle's `s.i <= e.n` dropping NULL n rows
                     continue
                 n = int(row["n_copies"])
-                share = round_half_away(row["value"] / n, 2)
+                v = row["value"]
+                # NULL value with a parsable k: the oracle emits the
+                # fan-out rows with NULL share (ROUND(NULL/n) is NULL);
+                # round_half_away(NaN) would raise (r6 review finding)
+                share = (
+                    None if v is None or pd.isna(v)
+                    else round_half_away(v / n, 2)
+                )
                 for i in range(1, n + 1):
                     out["event_id"].append(row["event_id"])
                     out["copy_idx"].append(i)
@@ -400,17 +407,15 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q89_dispersion",
-    """
+    f"""
     SELECT event_type,
            ROUND(stddev_samp(value) + 1e-9, 4)       AS sd,
            ROUND(var_samp(value) + 1e-9, 4)          AS var,
            ROUND(covar_samp(value,
-                 CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
-                      AS BIGINT)) + 1e-9, 4)
+                 {sql_json_int("props", "'$.k'")}) + 1e-9, 4)
                                                      AS cov_vk,
            ROUND(corr(value,
-                 CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
-                      AS BIGINT)) + 1e-9, 6)
+                 {sql_json_int("props", "'$.k'")}) + 1e-9, 6)
                                                      AS corr_vk
     FROM events
     GROUP BY event_type
@@ -428,7 +433,10 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    # try_cast at the VALUE level too: a well-formed props whose $.k
+    # is non-numeric ("abc") would abort an ANSI cast; DuckDB oracle
+    # mirrors with TRY_CAST (r6 review finding)
+    k = F.get_json_object("props", "$.k").try_cast("long")
     # pairwise deletion: corr() drops a row when EITHER side is null;
     # stddev_pop over the raw column would instead use that column's own
     # non-null rows and diverge from the oracle on mixed-null groups

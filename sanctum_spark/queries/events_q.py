@@ -15,7 +15,7 @@ from pyspark.sql.window import Window as W
 
 from sanctum_spark.io import load_table
 from sanctum_spark.queries import register
-from sanctum_spark.queries.util import stable_round
+from sanctum_spark.queries.util import sql_json_int, stable_round
 
 
 @register(
@@ -44,8 +44,8 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q61_json_props",
-    """
-    SELECT CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT) AS k,
+    f"""
+    SELECT {sql_json_int("props", "'$.k'")} AS k,
            COUNT(*)             AS n,
            ROUND(AVG(value) + 1e-9, 4) AS avg_value
     FROM events
@@ -56,7 +56,7 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        ev.withColumn("k", F.get_json_object("props", "$.k").try_cast("long"))
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n"), stable_round(F.avg("value"), 4).alias("avg_value"))
     )

@@ -183,7 +183,9 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    if qrow is None:  # empty corpus: no query vector, empty top-k
+    if qrow is None:
+        if not emb.isEmpty():  # data bug, not an empty ingest: fail loud
+            raise ValueError("q78: query vector vec_id=0 missing")
         return spark.createDataFrame([], "vec_id bigint, cos_sim double")
     qvec = [float(x) for x in qrow[0]]
     lsh = S.RandomHyperplaneLSH(dim=len(qvec), n_planes=6, seed=42)

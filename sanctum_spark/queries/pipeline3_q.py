@@ -40,13 +40,20 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).first()
-    if qrow is None:  # empty corpus: no query vector, empty top-k
+    if qrow is None:
+        if not emb.isEmpty():  # data bug, not an empty ingest: fail loud
+            raise ValueError("q119: query vector vec_id=0 missing")
         return spark.createDataFrame([], "vec_id bigint, adc_dist double")
     qvec = [float(x) for x in qrow["embedding"]]
     corpus = emb.filter(F.col("vec_id") != 0)
     # sampled training (deterministic quarter-slice), full-corpus encoding —
     # the documented 100 TB split between the train and index passes.
-    books = pq_train(corpus.filter(F.col("vec_id") % 4 == 0), m=8, ksub=16, n_iters=4)
+    train = corpus.filter(F.col("vec_id") % 4 == 0)
+    if train.isEmpty():
+        # a tiny corpus can miss the deterministic quarter-slice entirely;
+        # train on everything rather than abort (r6 review finding)
+        train = corpus
+    books = pq_train(train, m=8, ksub=16, n_iters=4)
     encoded = pq_encode(corpus, books)
     return pq_adc_topk(encoded, books, qvec, k=10, rerank=100).select(
         "vec_id", stable_round(F.col("adc_dist"), 5).alias("adc_dist")

@@ -11,6 +11,7 @@ from pyspark.sql import types as T
 
 from sanctum_spark.io import load_table
 from sanctum_spark.queries import register
+from sanctum_spark.queries.util import sql_json_int
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -19,10 +20,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @register(
     "q67_props_as_map",
-    """
+    f"""
     SELECT k AS prop_key,
            COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(TRY_CAST(props AS JSON), '$.' || k) AS BIGINT)) AS BIGINT) AS total
+           CAST(SUM({sql_json_int("props", "'$.' || k")}) AS BIGINT) AS total
     FROM (SELECT props, UNNEST(json_keys(TRY_CAST(props AS JSON))) AS k FROM events) t
     GROUP BY k
     """,
@@ -33,11 +34,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    # parse as map<string,string> then try_cast values: a typed
+    # map<string,long> parse NULLs the ENTIRE map when any value fails
+    # coercion, silently dropping the event from the key counts — with
+    # string values the key count survives mixed-type payloads and
+    # non-integer values contribute NULL to the sum, matching the
+    # oracle's per-key json_type guard (r6 degenerate-row sweep)
+    m = F.from_json("props", T.MapType(T.StringType(), T.StringType()))
     return (
-        ev.select(F.explode(m).alias("prop_key", "v"))
+        ev.select(F.explode(m).alias("prop_key", "vs"))
         .groupBy("prop_key")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("vs").try_cast("long")).alias("total"),
+        )
     )
 
 

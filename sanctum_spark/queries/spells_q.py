@@ -14,6 +14,7 @@ from pyspark.sql import types as T
 
 from sanctum_spark.io import load_table
 from sanctum_spark.queries import register
+from sanctum_spark.queries.util import sql_json_int
 from sanctum_spark.spells import ExpressionSpell, Spell, apply_spell, loop_spell
 
 # The boost cast on the zero-Python expression tier: identical semantics
@@ -141,15 +142,14 @@ def _decrement_cast(event: dict) -> dict | None:
 
 @register(
     "q81_spell_loop",
-    """
+    f"""
     SELECT event_id,
-           -- missing/malformed $.k: the counter spell cannot terminate, so
-           -- the loop runs to the reference's runaway bound (O7, 1000) —
-           -- NOT the GREATEST(NULL,1)=1 DuckDB would silently give
-           CASE WHEN json_extract_string(TRY_CAST(props AS JSON), '$.k') IS NULL
+           -- missing/malformed/non-integer $.k: the counter spell cannot
+           -- terminate, so the loop runs to the reference's runaway bound
+           -- (O7, 1000) — NOT the GREATEST(NULL,1)=1 DuckDB would give
+           CASE WHEN {sql_json_int("props", "'$.k'")} IS NULL
                 THEN 1000
-                ELSE CAST(LEAST(GREATEST(CAST(json_extract_string(
-                         TRY_CAST(props AS JSON), '$.k') AS BIGINT), 1),
+                ELSE CAST(LEAST(GREATEST({sql_json_int("props", "'$.k'")}, 1),
                       1000) AS BIGINT) END AS n_casts
     FROM events
     """,
@@ -160,7 +160,7 @@ def _decrement_cast(event: dict) -> dict | None:
 )
 def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", F.get_json_object("props", "$.k").cast("long").alias("counter")
+        "event_id", F.get_json_object("props", "$.k").try_cast("long").alias("counter")
     )
     spell = Spell(name="decrement", cast=_decrement_cast)
     schema = T.StructType(

@@ -91,3 +91,20 @@ def sql_int_grain(expr: str, scale: int) -> str:
         f"CAST(FLOOR(({expr}) * {float(10 ** scale):.1f} + 0.5 + 1e-9)"
         " AS BIGINT)"
     )
+
+
+def sql_json_int(col_sql: str, path_sql: str) -> str:
+    """DuckDB SQL equivalent of Spark's
+    ``get_json_object(col, path).try_cast("long")``: NULL unless the
+    JSON value at ``path`` is an INTEGER literal (json_type UBIGINT/
+    BIGINT).  A bare TRY_CAST would diverge: DuckDB rounds the decimal
+    string '3.7' to 4 where Spark's try_cast yields NULL (r6
+    degenerate-row sweep).  ``path_sql`` is raw SQL (e.g. "'$.k'" or
+    "'$.' || k"); the outer TRY_CAST still guards int64 overflow.
+    """
+    j = f"TRY_CAST({col_sql} AS JSON)"
+    return (
+        f"(CASE WHEN json_type({j}, {path_sql}) IN ('UBIGINT', 'BIGINT') "
+        f"THEN TRY_CAST(json_extract_string({j}, {path_sql}) AS BIGINT) "
+        f"END)"
+    )

@@ -33,15 +33,33 @@ def test_q84_q61_malformed_props(spark, tmp_path):
         (2, T0, 1, "view", 6.0, "not json"),             # no fan-out
         (3, T0, 1, "view", 3.0, None),                   # no fan-out
         (4, T0, 1, "view", 8.0, "{}"),                   # $.k missing
+        (5, T0, 1, "view", None, json.dumps({"k": 4})),  # NULL value, valid k
+        (6, T0, 1, "view", 7.0, json.dumps({"k": "abc"})),  # non-numeric k
+        (7, T0, 1, "view", 5.0, json.dumps({"k": 3.7})),    # fractional k:
+        # Spark try_cast('3.7') is NULL while a bare DuckDB TRY_CAST
+        # would ROUND to 4 — the sql_json_int json_type guard pins NULL
     ]
     sf = _write_events(tmp_path, rows)
     got, want = _both(spark, sf, "q84_spell_fanout_udtf")
     pd.testing.assert_frame_equal(got, want)
-    assert set(got["event_id"]) == {"1"}
-    assert len(got) == 2  # copies 1 and 2
+    assert set(got["event_id"]) == {"1", "5"}
+    # event 5 fans out with NULL share (oracle: ROUND(NULL/n) is NULL)
+    shares = got.groupby("event_id")["share"].apply(set).to_dict()
+    assert shares["5"] <= {"nan", "None"}
+    assert len(got) == 4  # two copies each for events 1 and 5
 
     got, want = _both(spark, sf, "q61_json_props")
     pd.testing.assert_frame_equal(got, want)
+    # '3.7' and '"abc"' both land in the k=NULL group on both engines
+    by_k = dict(zip(got["k"], got["n"]))
+    assert by_k.get("4.0", by_k.get("4")) == "2"
+
+    got, want = _both(spark, sf, "q67_props_as_map")
+    pd.testing.assert_frame_equal(got, want)
+    # per-key counting survives mixed-type payloads: every doc with a
+    # 'k' key counts toward n, only integer values reach the sum
+    row = got[got["prop_key"] == "k"].iloc[0]
+    assert row["n"] == "4" and row["total"] == "8"
 
 
 def test_q81_runaway_loop_on_missing_k(spark, tmp_path):
@@ -52,13 +70,16 @@ def test_q81_runaway_loop_on_missing_k(spark, tmp_path):
         (1, T0, 1, "view", 1.0, json.dumps({"k": 3})),
         (2, T0, 1, "view", 1.0, "not json"),
         (3, T0, 1, "view", 1.0, None),
-        (4, T0, 1, "view", 1.0, json.dumps({"k": 2500})),  # clipped
+        (4, T0, 1, "view", 1.0, json.dumps({"k": 2500})),   # clipped
+        (5, T0, 1, "view", 1.0, json.dumps({"k": "abc"})),  # non-numeric
+        (6, T0, 1, "view", 1.0, json.dumps({"k": 3.7})),    # fractional
     ]
     sf = _write_events(tmp_path, rows)
     got, want = _both(spark, sf, "q81_spell_loop")
     pd.testing.assert_frame_equal(got, want)
     casts = dict(zip(got["event_id"], got["n_casts"]))
-    assert casts == {"1": "3", "2": "1000", "3": "1000", "4": "1000"}
+    assert casts == {"1": "3", "2": "1000", "3": "1000", "4": "1000",
+                     "5": "1000", "6": "1000"}
 
 
 def test_q80_q82_null_value_kept_by_all_tiers(spark, tmp_path):
