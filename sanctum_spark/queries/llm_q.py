@@ -108,12 +108,17 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0
     )
     SELECT vec_id, label,
-           ROUND(
-               list_dot_product(CAST(embedding AS DOUBLE[]), qvec)
-               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                        CAST(embedding AS DOUBLE[])))
-                  * sqrt(list_dot_product(qvec, qvec))),
-               5) AS cos_sim
+           -- dim guard: list_dot_product ERRORS on unequal lengths,
+           -- while Spark's zip_with pads with NULL and the dot folds to
+           -- NULL — degenerate vectors get NULL cos_sim on both engines
+           -- and rank last (r6 embeddings sweep)
+           CASE WHEN embedding IS NOT NULL AND len(embedding) = len(qvec)
+                THEN ROUND(
+                    list_dot_product(CAST(embedding AS DOUBLE[]), qvec)
+                    / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(qvec, qvec))),
+                    5) END AS cos_sim
     FROM embeddings, q
     WHERE vec_id <> 0
     ORDER BY cos_sim DESC, vec_id

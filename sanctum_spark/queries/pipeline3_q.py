@@ -45,7 +45,19 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise ValueError("q119: query vector vec_id=0 missing")
         return spark.createDataFrame([], "vec_id bigint, adc_dist double")
     qvec = [float(x) for x in qrow["embedding"]]
-    corpus = emb.filter(F.col("vec_id") != 0)
+    corpus = emb.filter(F.col("vec_id") != 0).filter(
+        # NULL/ragged vectors can't be encoded or scored: drop them
+        # before the numpy kernels (r6 embeddings sweep)
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == len(qvec))
+        # finite components only: a NaN/Inf vector poisons the Lloyd/PQ
+        # kernels (the Arrow boundary turns NaN partial sums into NULLs);
+        # abs(x) < inf is false for NaN AND +-Inf in one predicate
+        & F.forall(
+            F.transform("embedding", lambda x: x.cast("double")),
+            lambda x: F.abs(x) < F.lit(float("inf")),
+        )
+    )
     # sampled training (deterministic quarter-slice), full-corpus encoding —
     # the documented 100 TB split between the train and index passes.
     train = corpus.filter(F.col("vec_id") % 4 == 0)

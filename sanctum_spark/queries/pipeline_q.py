@@ -169,7 +169,19 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise ValueError("q94: query vector vec_id=0 missing")
         return spark.createDataFrame([], "vec_id bigint, cos_sim double")
     qvec = [float(x) for x in qrow["embedding"]]
-    corpus = emb.filter(F.col("vec_id") != 0)
+    corpus = emb.filter(F.col("vec_id") != 0).filter(
+        # NULL/ragged vectors can't be assigned or scored: drop them
+        # before the numpy kernels (r6 embeddings sweep)
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == len(qvec))
+        # finite components only: a NaN/Inf vector poisons the Lloyd/PQ
+        # kernels (the Arrow boundary turns NaN partial sums into NULLs);
+        # abs(x) < inf is false for NaN AND +-Inf in one predicate
+        & F.forall(
+            F.transform("embedding", lambda x: x.cast("double")),
+            lambda x: F.abs(x) < F.lit(float("inf")),
+        )
+    )
     # train the coarse quantizer on a deterministic quarter-slice — the
     # documented 100 TB design (sampled training, full-corpus assignment);
     # centroids stay deterministic (seeded by lowest ids of the slice).
@@ -325,8 +337,8 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(list_filter(embedding, x -> x > 0)) AS n_pos,
            ROUND(list_max(list_transform(embedding,
                x -> abs(CAST(x AS DOUBLE)))) + 1e-9, 6) AS max_abs,
-           len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) > 2.0)) > 0
-               AS has_outlier
+           COALESCE(len(list_filter(embedding,
+               x -> abs(CAST(x AS DOUBLE)) > 2.0)) > 0, FALSE) AS has_outlier
     FROM embeddings
     """,
     doc=(
@@ -343,12 +355,19 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     sumsq = F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
     return emb.select(
         "vec_id",
-        stable_round(F.sqrt(sumsq), 6).alias("l2_norm"),
+        # size guard: DuckDB list_aggregate([], 'sum') is NULL, so an
+        # empty vector has NULL norm on both engines (r6 embeddings sweep)
+        stable_round(F.when(F.size(vec) > 0, F.sqrt(sumsq)), 6).alias("l2_norm"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
         stable_round(F.array_max(F.transform(vec, lambda x: F.abs(x))), 6).alias(
             "max_abs"
         ),
-        F.exists(vec, lambda x: F.abs(x) > 2.0).alias("has_outlier"),
+        # coalesce: a NULL vector "has no outlier" — a NULL boolean
+        # stringifies differently per engine (None vs nan) under the
+        # driver hash even though both are SQL NULL (r6 embeddings sweep)
+        F.coalesce(
+            F.exists(vec, lambda x: F.abs(x) > 2.0), F.lit(False)
+        ).alias("has_outlier"),
     )
 
 

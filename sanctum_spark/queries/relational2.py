@@ -316,9 +316,16 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        stable_round(F.element_at(dvec, 1), 5).alias("first_elem"),
+        # try_element_at / size guard: an empty or NULL vector yields
+        # NULL like DuckDB's out-of-bounds index and list_sum([]) — a
+        # bare element_at is an ANSI crash (r6 embeddings sweep)
+        stable_round(F.try_element_at(dvec, F.lit(1)), 5).alias("first_elem"),
         stable_round(
-            F.aggregate(F.slice(dvec, 1, 8), F.lit(0.0), lambda a, x: a + x), 4
+            F.when(
+                F.size(dvec) > 0,
+                F.aggregate(F.slice(dvec, 1, 8), F.lit(0.0), lambda a, x: a + x),
+            ),
+            4,
         ).alias("head_sum"),
         stable_round(F.array_max(dvec), 5).alias("max_elem"),
     )

@@ -295,7 +295,10 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(i AS INT) AS pos,
            ROUND(AVG(CAST(embedding[i] AS DOUBLE)) + 1e-9, 5) AS avg_v,
-           COUNT(*) AS n
+           -- COUNT(col), not COUNT(*): vectors shorter than i (or NULL)
+           -- have no element there, matching Spark's posexplode which
+           -- emits no row for a missing position (r6 embeddings sweep)
+           COUNT(embedding[i]) AS n
     FROM embeddings, (SELECT UNNEST([1, 2, 3, 4]) AS i) p
     GROUP BY i
     """,

@@ -129,7 +129,9 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        stable_round(F.element_at(head_sorted, 1), 5).alias("smallest_head"),
-        stable_round(F.element_at(head_sorted, 5), 5).alias("largest_head"),
+        # try_element_at: empty/ragged vectors yield NULL like DuckDB's
+        # out-of-bounds list index (bare element_at: ANSI crash)
+        stable_round(F.try_element_at(head_sorted, F.lit(1)), 5).alias("smallest_head"),
+        stable_round(F.try_element_at(head_sorted, F.lit(5)), 5).alias("largest_head"),
         F.size(F.filter(dvec, lambda x: x > 0)).cast("long").alias("n_positive"),
     )

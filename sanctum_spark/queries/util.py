@@ -56,11 +56,14 @@ def sql_money_round(expr: str, scale: int = 2) -> str:
 # of ROUND also sidesteps half-even vs half-away variance across builds.
 #
 # Pure-integer pins (no helper needed) pair DuckDB `//` with Spark `DIV`
-# (q131 avg_chars_e2, q141 share_e6).  PRECONDITION: all operands
-# NON-NEGATIVE.  DuckDB `//` floors (toward -inf) while Spark `DIV`
-# truncates (toward zero); they agree only on non-negative quotients —
-# do NOT reuse the pairing on signed expressions (use
-# FLOOR(CAST(a AS DOUBLE)/b) vs F.floor(a/b) there instead).
+# (q131 avg_chars_e2, q141 share_e6).  On INTEGER operands the pairing
+# is exact for ALL signs: DuckDB's integer `//` truncates toward zero
+# exactly like Spark's DIV (probed r6: (-100)//7 = -14 on both — an
+# earlier note here claiming DuckDB floors was wrong).  The REAL trap
+# is `//` on DOUBLE operands: DuckDB then performs PLAIN division
+# ((-100.0)//7 = -14.2857…, no floor at all), so never pair a
+# double-typed `//` with an integer DIV — cast to BIGINT first or use
+# explicit FLOOR on both engines.
 # Also: any oracle output column built from SUM(<integer col>) or `//`
 # MUST be wrapped in CAST(... AS BIGINT) — DuckDB returns HUGEINT, which
 # pandas materializes as float64 and the driver's stringified value hash

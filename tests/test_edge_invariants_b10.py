@@ -94,5 +94,47 @@ def test_documented_case_and_levenshtein_divergences(spark):
     assert duck == ("istanbul", 2)
 
 
+def test_degenerate_embeddings_family(spark, tmp_path):
+    """Degenerate vectors through the array/ANN family (r6 embeddings
+    sweep, tools/embeddings_sweep.py): NULL / empty / ragged / NaN /
+    Inf vectors flow through the array scalar surface (q33/q43/q54/q96)
+    and brute-force cosine (q73) driver-equally — out-of-bounds indexes
+    are NULL (try_element_at, never an ANSI crash), a ragged vector has
+    NULL cosine (the oracle's dim guard vs zip_with NULL padding), and
+    the ANN quartet neither crashes nor scores non-finite vectors."""
+    from test_edge_invariants_b3 import _write_embeddings
+
+    import sanctum_spark.queries as qreg
+
+    dim = 8
+    rows = [(0, [1.0] + [0.0] * (dim - 1), 0)]
+    rows += [(i, [float(i)] * dim, 0) for i in range(1, 12)]
+    rows += [
+        (21, None, 0),
+        (22, [], 0),
+        (23, [1.0, 2.0], 0),                # ragged
+        (24, [float("nan")] * dim, 1),
+        (25, [float("inf")] * dim, 1),
+        (26, [0.5] * dim, None),            # NULL label
+    ]
+    sf = _write_embeddings(tmp_path, rows)
+    for name in ("q33_explode_positions", "q43_array_manipulation",
+                 "q54_array_functions", "q96_array_higher_order",
+                 "q73_cosine_topk"):
+        got, want = _both_tbl(spark, sf, name, "embeddings")
+        pd.testing.assert_frame_equal(got, want, obj=name)
+    got, _ = _both_tbl(spark, sf, "q43_array_manipulation", "embeddings")
+    by_id = {r["vec_id"]: r for _, r in got.iterrows()}
+    assert by_id["22"]["smallest_head"] in ("nan", "None")  # empty: NULL
+    assert by_id["23"]["largest_head"] in ("nan", "None")   # ragged: idx 5
+    assert by_id["23"]["smallest_head"] == "1.0"
+    # ANN family: no crashes, degenerate vectors never in the result
+    for name in ("q78_ann_lsh_topk", "q79_embedding_neardup",
+                 "q94_ann_ivf", "q119_pq_ann"):
+        out = qreg.REGISTRY[name].fn(spark, sf).toPandas()
+        id_col = out.columns[0]
+        assert not ({21, 22, 23} & set(out[id_col].astype(int))), name
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])

@@ -34,6 +34,10 @@ rows = [
     (9910004, ts("2262-01-01"), 991003, "view", 1.0),
     (9910005, ts("1969-12-30"), 991004, "click", 2.0),
     (9910006, ts("1901-06-15"), 991004, "view", 3.0),
+    # pre-epoch purchases: negative epoch-week arithmetic through q112
+    # (integer // and DIV both truncate toward zero — probed r6)
+    (9910007, ts("1969-12-28"), 991005, "purchase", 1.0),
+    (9910008, ts("1969-01-05"), 991005, "purchase", 1.0),
 ]
 extra = pa.table(
     {
