@@ -155,6 +155,10 @@ def _interleave_sql(xcol: str, ycol: str, bits: int = 16) -> str:
                o_custkey & 65535 AS xb,
                datediff('day', DATE '1992-01-01', o_orderdate) & 65535 AS yb
         FROM orders
+        -- a z-order key is undefined when either dimension is NULL; the
+        -- filter also removes the engines' opposite NULL sort placement
+        -- (Spark ASC nulls-first vs DuckDB nulls-last) from the LIMIT
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
     )
     SELECT o_orderkey, {_interleave_sql("xb", "yb")} AS zval
     FROM b
@@ -174,7 +178,9 @@ def _interleave_sql(xcol: str, ycol: str, bits: int = 16) -> str:
 def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctum_spark.operators.layout import zvalue
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
     xb = F.col("o_custkey").cast("long").bitwiseAND(F.lit(65535))
     yb = (
         F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))

@@ -201,7 +201,11 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name
     FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    -- NOT EXISTS, not NOT IN: a single NULL o_custkey makes NOT IN
+    -- return ZERO rows under three-valued logic, while Spark's
+    -- left_anti (and NOT EXISTS) simply never matches the NULL key
+    -- (r6 relational-nulls sweep)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey)
     """,
     doc="left-anti join (NOT EXISTS); customers with no orders.",
 )
@@ -448,7 +452,10 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey,
            UPPER(p_brand)                                   AS brand_upper,
            LENGTH(p_name)                                   AS name_len,
-           CONCAT(p_brand, ':', p_type)                     AS brand_type,
+           -- COALESCE inside: DuckDB CONCAT skips NULL args while
+           -- Spark's concat propagates NULL and concat_ws drops the
+           -- separator — explicit '' pins ':' on both engines
+           CONCAT(COALESCE(p_brand, ''), ':', COALESCE(p_type, '')) AS brand_type,
            ROUND(p_retailprice * 1.1, 2)                    AS taxed_price,
            CAST(FLOOR(p_size / 10.0) AS BIGINT)             AS size_bucket,
            CASE WHEN p_size >= 25 THEN 'large'
@@ -463,7 +470,11 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.upper("p_brand").alias("brand_upper"),
         F.length("p_name").alias("name_len"),
-        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.concat(
+            F.coalesce("p_brand", F.lit("")),
+            F.lit(":"),
+            F.coalesce("p_type", F.lit("")),
+        ).alias("brand_type"),
         F.round(F.col("p_retailprice") * 1.1, 2).alias("taxed_price"),
         F.floor(F.col("p_size") / 10.0).cast("long").alias("size_bucket"),
         F.when(F.col("p_size") >= 25, "large")

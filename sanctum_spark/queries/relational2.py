@@ -278,7 +278,7 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
            LPAD(CAST(p_partkey AS VARCHAR), 8, '0')   AS padded_key,
            REVERSE(p_brand)                           AS brand_rev,
            CAST(STRPOS(p_name, 'a') AS BIGINT)        AS first_a,
-           TRIM(CONCAT('  ', p_type, '  '))           AS trimmed_type,
+           TRIM(CONCAT('  ', COALESCE(p_type, ''), '  ')) AS trimmed_type,
            LOWER(p_type) || '/' || UPPER(p_brand)     AS mixed_case
     FROM part
     """,
@@ -293,7 +293,11 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
         F.reverse("p_brand").alias("brand_rev"),
         F.instr(F.col("p_name"), "a").cast("long").alias("first_a"),
-        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit("  "))).alias("trimmed_type"),
+        # COALESCE inside: Spark's concat propagates a NULL p_type to a
+        # NULL result while DuckDB CONCAT skips it (r6 nulls sweep)
+        F.trim(
+            F.concat(F.lit("  "), F.coalesce("p_type", F.lit("")), F.lit("  "))
+        ).alias("trimmed_type"),
         F.concat(F.lower("p_type"), F.lit("/"), F.upper("p_brand")).alias("mixed_case"),
     )
 
