@@ -18,7 +18,14 @@ leaking into output — and would return DIFFERENT ANSWERS on a real
 cluster than in CI.  Comparison is the driver-style canon (columns
 sorted by name, rows sorted by stringified values, string equality).
 
-Usage: PYTHONPATH=. python tools/layout_sweep.py
+Usage: PYTHONPATH=. python tools/layout_sweep.py [--exec]
+
+``--exec`` swaps the perturbation: same as-written tables, but AQE
+disabled, whole-stage codegen disabled, planner broadcast joins forced
+to sort-merge (threshold -1), shuffle.partitions=5 — the
+physical-strategy axis a real cluster varies that the layout axis
+doesn't.  Explicit ``F.broadcast()`` hints still apply (hints are
+semantics-free, so that is the production contract being checked).
 """
 
 from __future__ import annotations
@@ -39,6 +46,20 @@ PERTURB_CONFS = {
     "spark.sql.shuffle.partitions": "7",
     "spark.sql.files.maxPartitionBytes": "32768",
     "spark.sql.files.openCostInBytes": "0",
+}
+
+# ``--exec`` mode: same tables, different PHYSICAL STRATEGY.  A real
+# cluster picks different plans than local[32] (AQE re-plans at runtime,
+# broadcast thresholds differ with executor memory, codegen can be
+# disabled by config) — results must not depend on any of it.
+# autoBroadcastJoinThreshold=-1 forces every planner-chosen broadcast
+# join to sort-merge; explicit ``F.broadcast()`` hints still apply,
+# which is exactly the production contract (hints are semantics-free).
+EXEC_CONFS = {
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.codegen.wholeStage": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.shuffle.partitions": "5",
 }
 
 
@@ -68,19 +89,25 @@ def run_registry(spark, sf: str) -> dict:
 
 def main() -> int:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    exec_mode = "--exec" in sys.argv
+    confs = EXEC_CONFS if exec_mode else PERTURB_CONFS
+
     import sanctum_spark.queries as qreg
     from sanctum_spark.session import get_spark
 
     qreg.load_all_modules()
     spark = get_spark("layout_sweep")
 
-    dst = tempfile.mkdtemp(prefix="sf_layout_")
-    build_perturbed(dst)
+    if exec_mode:
+        dst = SRC  # same tables; only the physical strategy changes
+    else:
+        dst = tempfile.mkdtemp(prefix="sf_layout_")
+        build_perturbed(dst)
 
     base = run_registry(spark, SRC)
 
-    saved = {k: spark.conf.get(k, None) for k in PERTURB_CONFS}
-    for k, v in PERTURB_CONFS.items():
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
         spark.conf.set(k, v)
     try:
         pert = run_registry(spark, dst)
@@ -101,12 +128,14 @@ def main() -> int:
             bad[name] = {"a": f"{len(a)} rows", "b": f"{len(b)} rows",
                          "diff": "layout-dependent values"}
     print(json.dumps(bad, indent=1))
+    label = "exec-strategy" if exec_mode else "layout"
     print(
         f"summary: {len(base)} queries; {len(base) - len(bad)} "
-        f"layout-invariant; {len(bad)} problems"
+        f"{label}-invariant; {len(bad)} problems"
     )
-    print("src:", SRC, "perturbed:", dst)
-    shutil.rmtree(dst, ignore_errors=True)
+    print("src:", SRC, "perturbed:", dst, "confs:", confs)
+    if not exec_mode:
+        shutil.rmtree(dst, ignore_errors=True)
     return 1 if bad else 0
 
 
