@@ -33,23 +33,38 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 
 def stage_event_stream(
-    spark: SparkSession, sf_dir: str, stage_dir: str, n_files: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    stage_dir: str,
+    n_files: int = 4,
+    shuffle_within: bool = False,
 ) -> str:
     """Replay-stage the batch events table as n_files parquet files ordered
     by event time, so a file stream with maxFilesPerTrigger=1 replays the
     stream in n_files micro-batches (event-time order across batches —
-    what a resumed durable log would deliver)."""
+    what a resumed durable log would deliver).
+
+    ``shuffle_within=True`` permutes rows INSIDE each file (deterministic
+    hash order) while keeping the files' event-time ranges disjoint: the
+    delivery model of a real ingest, where a micro-batch's rows arrive
+    from many partitions in no particular order but batches still advance
+    in event time.  Operator results must not depend on intra-batch
+    order (tests/test_streaming_delivery.py)."""
     from sanctum_spark.io import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    (
-        ev.withColumn(
-            "_bucket",
-            F.ntile(n_files).over(W.orderBy("ts_ns", "event_id")),
+    staged = ev.withColumn(
+        "_bucket",
+        F.ntile(n_files).over(W.orderBy("ts_ns", "event_id")),
+    ).repartitionByRange(n_files, "_bucket")
+    if shuffle_within:
+        staged = staged.sortWithinPartitions(
+            F.sha2(F.col("event_id").cast("string"), 256)
         )
-        .repartitionByRange(n_files, "_bucket")
-        .sortWithinPartitions("ts_ns", "event_id")
-        .drop("_bucket")
+    else:
+        staged = staged.sortWithinPartitions("ts_ns", "event_id")
+    (
+        staged.drop("_bucket")
         .write.mode("overwrite")
         .parquet(stage_dir)
     )
