@@ -55,6 +55,12 @@ def drop_exact_duplicates(df: DataFrame, content_col: str, id_col: str) -> DataF
 def shingle_tokens(text_col: str | Column, k: int = 3) -> Column:
     """Distinct word k-shingles of a text column (JVM-side only).
 
+    A NULL text has NO shingles (empty array — the SQL semantics where a
+    NULL document produces no token rows and can never pair); an empty
+    string still has its single degenerate shingle.  Without the guard a
+    NULL text collapsed to the [""] shingle, silently making all NULL
+    docs mutual jaccard-1.0 duplicates (found by the r6 fuzz sweep).
+
     ``toks`` MUST be _let-bound: it is referenced inside the transform
     lambda (once per shingle), and Catalyst would otherwise inline the
     ``split`` into every use site — O(tokens²) per document (measured:
@@ -68,7 +74,9 @@ def shingle_tokens(text_col: str | Column, k: int = 3) -> Column:
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
         )
 
-    return _let(F.split(F.lower(col), r"\s+"), shingles_of)
+    return F.when(col.isNull(), F.array().cast("array<string>")).otherwise(
+        _let(F.split(F.lower(col), r"\s+"), shingles_of)
+    )
 
 
 def _let(value: Column, body) -> Column:
@@ -89,7 +97,12 @@ def shingle_hashes(text_col: str | Column, k: int = 3) -> Column:
     tokens are xxhash64'd once, each shingle hash combines k consecutive
     token hashes with one more xxhash64 over longs (no shingle-string
     materialization).  Short documents are padded with sentinel hashes so
-    ANSI element_at never goes out of bounds."""
+    ANSI element_at never goes out of bounds.
+
+    A NULL text has NO shingles (empty array), matching shingle_tokens:
+    xxhash64 of an all-NULL input is the seed CONSTANT, not NULL, so the
+    unguarded form hashed every NULL doc to one identical shingle and
+    paired them all at jaccard 1.0 (found by the r6 fuzz sweep)."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.split(F.lower(col), r"\s+")
     th_expr = F.concat(
@@ -107,7 +120,9 @@ def shingle_hashes(text_col: str | Column, k: int = 3) -> Column:
             )
         )
 
-    return _let(th_expr, shingles_of)
+    return F.when(col.isNull(), F.array().cast("array<long>")).otherwise(
+        _let(th_expr, shingles_of)
+    )
 
 
 def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
@@ -133,11 +148,20 @@ def minhash_signatures(
     n_hashes: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, shingles, sig) per document — shingles as long hashes."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        shingle_hashes(text_col, shingle_k).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
+    """(id, shingles, sig) per document — shingles as long hashes.
+
+    Documents with no shingles (NULL text) are excluded at the scan:
+    they cannot be near-duplicates of anything, their all-NULL signature
+    would band to one constant key (a false mega-bucket), and the exact
+    verification's jaccard would hit 0/0."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            shingle_hashes(text_col, shingle_k).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
+    )
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:

@@ -12,7 +12,7 @@ from pyspark.sql import types as T
 
 from sanctum_spark.io import load_table
 from sanctum_spark.queries import register
-from sanctum_spark.queries.util import sql_json_int, stable_round
+from sanctum_spark.queries.util import int_grain, sql_int_grain, sql_json_int, stable_round
 
 
 @register(
@@ -101,7 +101,7 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q84_spell_fanout_udtf",
     f"""
     SELECT e.event_id, CAST(s.i AS BIGINT) AS copy_idx,
-           ROUND(e.value / e.n, 2) AS share
+           {sql_int_grain("e.value / e.n", 2)} AS share_e2
     FROM (
         SELECT event_id, value,
                {sql_json_int("props", "'$.k'")} % 3 + 1 AS n
@@ -112,7 +112,12 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "row-generating spell (UDTF, 1→N): each event fans out into "
         "k%3+1 equal shares — the reference's N:M roadmap (README.md:131) "
-        "as a mapInPandas generator."
+        "as a mapInPandas generator. The share is pinned at integer e2 "
+        "grain with the identical IEEE expression floor(v/n*100+0.5+1e-9) "
+        "in the Python generator and the SQL oracle: the prior "
+        "ROUND(v/n, 2) pair diverged in the last digit when v/n sits "
+        "within an ulp of a .xx5 boundary (engine round() implementations "
+        "differ in op sequence — r6 fuzz sweep, seed 2)."
     ),
 )
 def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,22 +130,15 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             T.StructField("event_id", T.LongType()),
             T.StructField("copy_idx", T.LongType()),
-            T.StructField("share", T.DoubleType()),
+            T.StructField("share_e2", T.LongType()),
         ]
     )
 
     def fanout(batches):
         import math
 
-        def round_half_away(x: float, nd: int = 2) -> float:
-            # Python's round() is banker's (half-even); SQL ROUND is
-            # half-away.  value/2 lands on exact dyadic halves (e.g.
-            # 53.25/2 = 26.625) where the two disagree.
-            scale = 10**nd
-            return math.floor(x * scale + 0.5) / scale if x >= 0 else math.ceil(x * scale - 0.5) / scale
-
         for pdf in batches:
-            out = {"event_id": [], "copy_idx": [], "share": []}
+            out = {"event_id": [], "copy_idx": [], "share_e2": []}
             for row in pdf.to_dict("records"):
                 if row["n_copies"] is None or pd.isna(row["n_copies"]):
                     # missing/malformed $.k: no fan-out — matches the
@@ -149,17 +147,24 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n = int(row["n_copies"])
                 v = row["value"]
                 # NULL value with a parsable k: the oracle emits the
-                # fan-out rows with NULL share (ROUND(NULL/n) is NULL);
-                # round_half_away(NaN) would raise (r6 review finding)
+                # fan-out rows with NULL share. Non-NULL: the int_grain
+                # pin, written as the SAME IEEE double op sequence the
+                # oracle evaluates — (v / n) * 100.0 + 0.5 + 1e-9, then
+                # an exact floor — so the pinned ints match bit-exactly.
                 share = (
                     None if v is None or pd.isna(v)
-                    else round_half_away(v / n, 2)
+                    else int(math.floor((v / n) * 100.0 + 0.5 + 1e-9))
                 )
                 for i in range(1, n + 1):
                     out["event_id"].append(row["event_id"])
                     out["copy_idx"].append(i)
-                    out["share"].append(share)
-            yield pd.DataFrame(out)
+                    out["share_e2"].append(share)
+            yield pd.DataFrame({
+                "event_id": pd.array(out["event_id"], dtype="int64"),
+                "copy_idx": pd.array(out["copy_idx"], dtype="int64"),
+                # nullable Int64: NULL-value shares stay NULL through Arrow
+                "share_e2": pd.array(out["share_e2"], dtype="Int64"),
+            })
 
     return ev.mapInPandas(fanout, schema=schema)
 
@@ -258,9 +263,10 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q88_user_correlation",
-    """
+    f"""
     WITH hourly AS (
-        SELECT user_id, date_trunc('hour', ts) AS h, ROUND(SUM(value), 2) AS v
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               CAST(SUM({sql_int_grain('value', 3)}) AS BIGINT) AS v
         FROM events GROUP BY 1, 2
     ),
     active AS (
@@ -304,14 +310,19 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
         "not Theta(users^2): at 100x users the answer grows 100x, not "
         "10,000x. Two-phase block-then-verify variants were measured and "
         "rejected at this density (see in-code note); the top-k bound is "
-        "what survives any density."
+        "what survives any density. The hourly series is pinned at "
+        "integer e3 grain (exact BIGINT sums both engines) — Pearson "
+        "correlation is scale-invariant, so value_corr is unchanged, but "
+        "the prior ROUND(SUM(value), 2) input pin flipped at .xx5 "
+        "boundaries under engine summation-order ulps and swung small-n "
+        "correlations by whole percents (r6 fuzz sweep)."
     ),
 )
 def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    ).agg(F.sum(int_grain(F.col("value"), 3)).alias("v"))
     # Reused by the activity filter and both sides of the pairing join;
     # eager persist so AQE's concurrent child stages don't race to
     # recompute the aggregation (see q74 note). On a cluster this would
@@ -343,6 +354,14 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pre-filter above is what survives at any density.
     a = hourly.alias("a")
     b = hourly.alias("b")
+    # pairwise deletion (the q89 pattern): corr() drops an hour when
+    # EITHER series is NULL there (a user whose only events that hour
+    # carried NULL values). stddev_pop over the raw column would use
+    # that column's own non-null hours and diverge from DuckDB corr on
+    # mixed-null series — found live by the r6 fuzz sweep.
+    _both_nn = F.col("a.v").isNotNull() & F.col("b.v").isNotNull()
+    av = F.when(_both_nn, F.col("a.v"))
+    bv = F.when(_both_nn, F.col("b.v"))
     pairs = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.user_id") < F.col("b.user_id")))
         .groupBy(
@@ -358,8 +377,8 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
             # evaluates it explodes on the first degenerate pair.
             stable_round(
                 F.try_divide(
-                    F.covar_pop(F.col("a.v"), F.col("b.v")),
-                    F.stddev_pop(F.col("a.v")) * F.stddev_pop(F.col("b.v")),
+                    F.covar_pop(av, bv),
+                    F.stddev_pop(av) * F.stddev_pop(bv),
                 ),
                 4,
             ).alias("value_corr"),

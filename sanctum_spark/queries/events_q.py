@@ -15,7 +15,7 @@ from pyspark.sql.window import Window as W
 
 from sanctum_spark.io import load_table
 from sanctum_spark.queries import register
-from sanctum_spark.queries.util import sql_json_int, stable_round
+from sanctum_spark.queries.util import sql_int_grain, sql_json_int, stable_round
 
 
 @register(
@@ -156,23 +156,38 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q64_tumbling_window",
-    """
+    f"""
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            COUNT(*)             AS n,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(SUM({sql_int_grain('value', 3)}) AS BIGINT) AS total_value_e3
     FROM events
     GROUP BY 1, 2
     """,
-    doc="event-time tumbling window (batch form of the streaming windowed agg).",
+    doc=(
+        "event-time tumbling window (batch form of the streaming windowed "
+        "agg). The value sum is pinned at integer e3 grain — each event's "
+        "value becomes a BIGINT at the scan and the SUM is exact integer "
+        "arithmetic on both engines. The prior ROUND(SUM(value), 2) pin "
+        "diverged under the r6 fuzz sweep: engine summation ORDER shifts "
+        "the double sum by ulps, and a sum within an ulp of a .xx5 "
+        "boundary rounds differently per engine — per-row grain "
+        "evaluates the identical double expression on identical inputs, "
+        "so the ints (and their sum) match bit-exactly at any order."
+    ),
 )
 def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctum_spark.queries.util import int_grain
+
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
             F.date_trunc("hour", "ts").alias("window_start"), F.col("event_type")
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(int_grain(F.col("value"), 3)).alias("total_value_e3"),
+        )
     )
 
 

@@ -714,7 +714,7 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
                             CAST(ts AS DATE)) AS day_no,
                    CAST(FLOOR(SUM(value) * 100.0 + 0.5 + 1e-9) AS BIGINT)
                        / 100.0 AS v
-            FROM events GROUP BY 1, 2
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
         ) GROUP BY user_id
     ),
     init AS (
@@ -782,7 +782,12 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctum_spark.operators.timeseries import REF_PATTERN, dtw_to_ref
     from sanctum_spark.queries.util import int_grain
 
-    ev = load_table(spark, sf_dir, "events")
+    # a day whose events ALL carry NULL value has no measurement and is
+    # excluded from the series on both engines (unfiltered, DuckDB's
+    # list() keeps the NULL point and it poisons the DP band toward the
+    # 1e18 infinity sentinel, while Spark's collect would drop or NaN it
+    # — r6 fuzz sweep); days with a mix keep their NULL-skipping SUM.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     daily = ev.groupBy(
         "user_id",
         F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))

@@ -43,9 +43,9 @@ def test_q84_q61_malformed_props(spark, tmp_path):
     got, want = _both(spark, sf, "q84_spell_fanout_udtf")
     pd.testing.assert_frame_equal(got, want)
     assert set(got["event_id"]) == {"1", "5"}
-    # event 5 fans out with NULL share (oracle: ROUND(NULL/n) is NULL)
-    shares = got.groupby("event_id")["share"].apply(set).to_dict()
-    assert shares["5"] <= {"nan", "None"}
+    # event 5 fans out with NULL share (oracle: int_grain(NULL/n) is NULL)
+    shares = got.groupby("event_id")["share_e2"].apply(set).to_dict()
+    assert shares["5"] <= {"nan", "None", "<NA>"}
     assert len(got) == 4  # two copies each for events 1 and 5
 
     got, want = _both(spark, sf, "q61_json_props")

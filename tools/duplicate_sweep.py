@@ -5,9 +5,17 @@ shingle sets, constant digests.  Passed 0-problems on its FIRST run
 
 Usage: PYTHONPATH=. python tools/duplicate_sweep.py
 """
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+
 sys.path.insert(0, ".")
 import pyarrow as pa
 import pyarrow.parquet as pq
+
 from tools.sweep_common import SRC, TABLES, run_sweep
 sf = tempfile.mkdtemp(prefix="sf_dup_")
 for t in TABLES:
