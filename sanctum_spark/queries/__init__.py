@@ -70,80 +70,94 @@ def load_all_modules() -> None:
 
 
 # Driver-verification rotation.  The driver's correctness gate checks the
-# FIRST 50 entries of ``queries()`` (observed: CORRECTNESS_r01–r05 each
+# FIRST 50 entries of ``queries()`` (observed: CORRECTNESS_r01–r06 each
 # contain exactly the first 50 registry keys in insertion order).  With 159
 # registered queries a fixed order would leave the tail permanently
-# unverified, so each round the front slots rotate.  Round 6 policy
-# (implements the r5 verdict's task #4 verbatim):
-#   1. the 12 queries with NO driver CORRECTNESS row from any round
-#      (q149–q151, q153–q158, q162–q164) — two rounds overdue;
-#   2. q131 / q141 re-verify: their oracle SQL gained the BIGINT casts
-#      that fix the DuckDB SUM(BIGINT)->HUGEINT->float64 hash-mismatch
-#      the r5 judge diagnosed — these two rows turning green is THE
-#      round-6 success criterion;
-#   3. remaining 36 slots: the stalest external evidence — the r02-era
-#      relational anchors (48 queries whose last driver row is r02; the
-#      12 deferred to r7 each have a same-family sibling in this list:
-#      q17/q18/q19 filters ~ q06/q14, q21/q22/q24 windows ~ q20/q23/q25,
-#      q41/q42 set ops ~ q40, q53/q55 scalars ~ q50/q51/q54,
-#      q57/q58 join variants ~ q03/q05/q10-q13/q59).
+# unverified, so each round the front slots rotate.
+#
+# STANDING POLICY (from the r6 verdict, task #1): OLDEST-FIRST.  Each round,
+# fill the 50 slots with the queries whose most recent driver CORRECTNESS
+# row is oldest; tie-break toward queries whose shared operators or oracle
+# helpers changed since their last driver row.  The registry is frozen at
+# 159 (r6 verdict task #6), so the rotation cycles the whole surface every
+# ~3 rounds.
+#
+# Round 7 selection (last-driver-round census over CORRECTNESS_r01–r06):
+#   1. the 12 queries whose last driver row is r02 — four rounds stale
+#      (q17–q19, q21, q22, q24, q41, q42, q53, q55, q57, q58);
+#   2. 37 of the 49 r03-era queries, prioritizing families whose shared
+#      code moved in r5/r6: the spell surface q80–q85 (expression tier,
+#      runtime refactors), text/JSON-touched q61/q71/q72/q76/q105/q122/
+#      q123 (try_cast hardening, unicode sweep fixes), dedup/similarity
+#      q70/q73/q91/q92/q99/q120 (zero-norm + NULL-vector guards), and the
+#      streaming/event families q60/q62–q65/q86/q89;
+#   3. q67_props_as_map (last row r06, but its oracle helper
+#      ``util.sql_json_int`` changes this round per ADVICE item 2 —
+#      re-verify the new oracle externally).
+#   Deferred to r8 (12 r03-era rows, each with an r5/r6-verified
+#   same-family sibling): q44/q45 (joins ~ q03–q13 r6), q93/q95/q111–q113/
+#   q116–q118/q124/q125 (pipeline family siblings q149–q158 r6-green).
 # The FULL registry is still verified every round locally via
 # ``tools/verify_local.py`` (driver-strength string compare since r6),
 # so rotation never substitutes for whole-surface checking.
 VERIFY_FIRST: list[str] = [
-    # --- 1. never driver-verified (r4/r5 backlog) ---
-    "q149_scd2_intervals",
-    "q150_psi_drift",
-    "q151_chi2_independence",
-    "q153_dtw_similarity",
-    "q154_benford_digits",
-    "q155_weighted_reservoir",
-    "q156_powerlaw_fit",
-    "q157_shard_manifest",
-    "q158_quality_keeper",
-    "q162_bm25_topk",
-    "q163_k_anonymity",
-    "q164_l_diversity",
-    # --- 2. oracle-cast fix re-verify (r5 verdict What's-wrong #1) ---
-    "q131_incremental_agg",
-    "q141_mix_entropy",
-    # --- 3. stalest anchors: last driver row r02 ---
-    "q01_pricing_summary",
-    "q02_distinct_counts",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q06_revenue_filter",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_semi_join",
-    "q11_anti_join",
-    "q12_outer_join_fill",
-    "q13_range_join",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q20_topk_per_group",
-    "q23_rank_family",
-    "q25_percentiles",
-    "q26_approx_distinct",
-    "q27_cust_order_distribution",
-    "q28_above_avg_no_orders",
-    "q30_rollup",
-    "q31_cube",
-    "q32_grouping_sets",
-    "q33_explode_positions",
-    "q34_unpivot",
-    "q40_set_ops",
-    "q43_array_manipulation",
-    "q50_scalar_functions",
-    "q51_date_functions",
-    "q52_sort_limit",
-    "q54_array_functions",
-    "q59_scalar_subquery",
+    # --- 1. last driver row r02 (stalest external evidence) ---
+    "q17_small_quantity",
+    "q18_big_orders",
+    "q19_disjunctive",
+    "q21_window_running",
+    "q22_lag_lead",
+    "q24_first_last",
+    "q41_except_union",
+    "q42_union_by_name",
+    "q53_string_functions",
+    "q55_null_functions",
+    "q57_self_join",
+    "q58_sort_merge_hint",
+    # --- 2. r03-era: spell surface (expression tier landed r6) ---
+    "q80_spell_cast",
+    "q81_spell_loop",
+    "q82_spell_cast_vectorized",
+    "q83_grouped_agg_udf",
+    "q84_spell_fanout_udtf",
+    "q85_grouped_map_normalize",
+    # --- 2. r03-era: text/JSON paths hardened in r6 ---
+    "q61_json_props",
+    "q71_text_stats",
+    "q72_lang_quality",
+    "q76_quality_profile",
+    "q105_repetition_filter",
+    "q122_lm_score",
+    "q123_pii_scrub",
+    # --- 2. r03-era: dedup/similarity (NULL/zero-norm guards r6) ---
+    "q70_exact_dedup",
+    "q73_cosine_topk",
+    "q91_ngram_jaccard",
+    "q92_corpus_clean",
+    "q99_dedup_clusters",
+    "q120_incremental_dedup",
+    # --- 2. r03-era: events/streaming/windows ---
+    "q60_topic_routing",
+    "q62_sessionize",
+    "q63_asof_join",
+    "q64_tumbling_window",
+    "q65_event_pivot",
+    "q86_event_sequence",
+    "q89_dispersion",
+    # --- 2. r03-era: pipeline/profiling backfill ---
+    "q100_hypertable_rollup",
+    "q101_vocab_bigrams",
+    "q102_salted_join_agg",
+    "q104_decontamination",
+    "q106_tfidf_terms",
+    "q107_regression_aggs",
+    "q108_sequence_packing",
+    "q109_cooccurrence",
+    "q110_context_chunks",
+    "q114_textrank_keywords",
+    "q115_fuzzy_vocab",
+    # --- 3. oracle-helper change this round (ADVICE item 2) ---
     "q67_props_as_map",
-    "q68_regexp_extract",
 ]
 
 
