@@ -175,7 +175,11 @@ def embedding_near_duplicates(
     """
     if lsh is None:
         if dim is None:
-            head = df.select(vec_col).first()
+            # infer dim from the first NON-NULL vector: first() on the raw
+            # frame is row-order-nondeterministic, so a single NULL
+            # embedding could intermittently land in head and crash
+            # len(None) (r6 ADVICE item 3; q79 passes the raw table)
+            head = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
             if head is None:
                 # empty corpus: zero pairs by definition — and no vector
                 # to infer the plane dimensionality from (an empty ingest
@@ -453,6 +457,10 @@ def pq_train(
     compression for 64-dim float32, which is what makes a corpus-wide ANN
     index driver- and executor-resident at scale.
     """
+    # NULL vectors carry no training signal and crash both dim inference
+    # (len(None)) and the seeding sample below — drop them once up front
+    # (r6 ADVICE item 3)
+    df = df.filter(F.col(vec_col).isNotNull())
     head = df.select(vec_col).first()
     if head is None:
         raise ValueError(

@@ -71,13 +71,20 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q83_grouped_agg_udf",
     """
     SELECT user_id,
-           ROUND(SUM(value * value) / SUM(value) + 1e-9, 4) AS self_weighted
+           ROUND(CASE WHEN ABS(SUM(value)) <= 1e-9 * SUM(ABS(value))
+                      THEN NULL
+                      ELSE SUM(value * value) / SUM(value) END + 1e-9, 4)
+               AS self_weighted
     FROM events
     GROUP BY user_id
     """,
     doc=(
         "grouped-aggregate pandas UDF (UDAF): Arrow-batched numpy "
-        "reduction per group, oracle-checked against its closed form."
+        "reduction per group, oracle-checked against its closed form. "
+        "Mixed-sign groups whose weight mass cancels (|sum| <= 1e-9 * "
+        "sum|v|) yield NULL on BOTH engines via the same relative "
+        "threshold — an exact ==0.0 guard left the knife-edge where one "
+        "engine accumulates 0.0 and the other ~1e-13 (r6 ADVICE item 4)."
     ),
 )
 def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,12 +92,17 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("double")
     def self_weighted(v: pd.Series) -> float:
-        # value-weighted mean of value: sum(v^2)/sum(v). NULL on a
-        # zero-sum group: DuckDB double x/0 is NULL, numpy would give
-        # inf (mixed-sign zero-sum) or nan — returning None keeps the
-        # UDF oracle-identical on the degenerate group.
+        # value-weighted mean of value: sum(v^2)/sum(v). NULL when the
+        # weight mass cancels: a relative threshold (|sum| vs sum of
+        # |v|) is derivable identically on both engines, unlike ==0.0.
+        # RESIDUAL DOMAIN NOTE (cf. util.py pin-domain): a group whose
+        # true |sum| sits within ~1 ulp of 1e-9*sum|v| itself can still
+        # flip the CASE between engines via summation order — at that
+        # boundary self_weighted is ~1e9x the data scale, i.e. outside
+        # the pin's meaningful domain, like the |x|>=1e12 ROUND pins.
         s = float(v.sum())
-        return None if s == 0.0 else float((v * v).sum() / s)
+        mass = float(v.abs().sum())
+        return None if abs(s) <= 1e-9 * mass else float((v * v).sum() / s)
 
     return ev.groupBy("user_id").agg(
         stable_round(self_weighted("value"), 4).alias("self_weighted")
@@ -145,6 +157,13 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # oracle's `s.i <= e.n` dropping NULL n rows
                     continue
                 n = int(row["n_copies"])
+                if n < 1:
+                    # negative k: k % 3 follows the dividend sign in both
+                    # Spark and DuckDB, so n = k%3+1 can be 0 or -1.  The
+                    # oracle's `s.i <= e.n` emits zero rows for such
+                    # events; skip BEFORE computing share so n == 0 never
+                    # reaches the v / n division (r6 ADVICE item 1).
+                    continue
                 v = row["value"]
                 # NULL value with a parsable k: the oracle emits the
                 # fan-out rows with NULL share. Non-NULL: the int_grain

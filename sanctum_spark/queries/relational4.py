@@ -28,8 +28,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     GROUP BY k
     """,
     doc=(
-        "schemaless payload as a typed map: from_json to map<string,long>, "
-        "explode, aggregate per key (the dynamic-event-field access path)."
+        "schemaless payload as a typed map: from_json to "
+        "map<string,string> + per-value try_cast(long), explode, "
+        "aggregate per key (the dynamic-event-field access path). The "
+        "string-map parse survives mixed-type payloads — a typed "
+        "map<string,long> would NULL the whole map on one bad value and "
+        "drop the event from the key counts (r6 degenerate-row sweep)."
     ),
 )
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:

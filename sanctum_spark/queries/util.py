@@ -98,16 +98,34 @@ def sql_int_grain(expr: str, scale: int) -> str:
 
 def sql_json_int(col_sql: str, path_sql: str) -> str:
     """DuckDB SQL equivalent of Spark's
-    ``get_json_object(col, path).try_cast("long")``: NULL unless the
-    JSON value at ``path`` is an INTEGER literal (json_type UBIGINT/
-    BIGINT).  A bare TRY_CAST would diverge: DuckDB rounds the decimal
-    string '3.7' to 4 where Spark's try_cast yields NULL (r6
-    degenerate-row sweep).  ``path_sql`` is raw SQL (e.g. "'$.k'" or
-    "'$.' || k"); the outer TRY_CAST still guards int64 overflow.
+    ``get_json_object(col, path).try_cast("long")``.  Two accepted
+    shapes, matching Spark's lenient extraction (probed on Spark 4.1.2,
+    r7 — see tests/test_edge_invariants_b12.py):
+
+    - INTEGER literals (json_type UBIGINT/BIGINT).  A bare TRY_CAST of
+      the extracted string would diverge on DOUBLE literals: DuckDB
+      rounds '3.7' to 4 where Spark's try_cast yields NULL (r6
+      degenerate-row sweep).
+    - STRING literals whose content is a Spark-castable integer:
+      optional surrounding control/space chars (UTF8String.trimAll
+      trims everything <= 0x20), optional sign, ASCII digits only — no
+      decimal point, exponent, or Unicode digits.  On {"k":"5"} Spark
+      extracts the unquoted '5' and casts to 5; the previous
+      integer-literal-only CASE returned NULL there (r6 ADVICE item 2).
+      The regexp_extract pulls exactly the sign+digits (no-match -> ''
+      -> NULL), so DuckDB's own VARCHAR cast leniency (it would round
+      '3.7' to 4) never applies.
+
+    ``path_sql`` is raw SQL (e.g. "'$.k'" or "'$.' || k"); the outer
+    TRY_CAST still guards int64 overflow on both shapes.
     """
     j = f"TRY_CAST({col_sql} AS JSON)"
+    s = f"json_extract_string({j}, {path_sql})"
+    int_re = r"'^[\x00-\x20]*([+-]?[0-9]+)[\x00-\x20]*$'"
     return (
         f"(CASE WHEN json_type({j}, {path_sql}) IN ('UBIGINT', 'BIGINT') "
-        f"THEN TRY_CAST(json_extract_string({j}, {path_sql}) AS BIGINT) "
+        f"THEN TRY_CAST({s} AS BIGINT) "
+        f"WHEN json_type({j}, {path_sql}) = 'VARCHAR' "
+        f"THEN TRY_CAST(regexp_extract({s}, {int_re}, 1) AS BIGINT) "
         f"END)"
     )

@@ -47,6 +47,13 @@ rows = [
     (9900003, 990002, "view", None, json.dumps({"k": 4})),   # NULL value, valid k
     (9900004, 990002, "view", 2.0, json.dumps({"k": "abc"})),  # non-numeric k
     (9900005, 990002, "view", 3.0, json.dumps({"k": 3.7})),    # fractional k
+    # r7 (ADVICE items 1-2): quoted/negative $.k classes the r6 sweeps
+    # never generated
+    (9900006, 990003, "view", 4.0, json.dumps({"k": "5"})),    # QUOTED int: Spark try_cast -> 5
+    (9900007, 990003, "view", 5.0, json.dumps({"k": "3.7"})),  # quoted decimal: NULL both sides
+    (9900008, 990003, "view", 6.0, json.dumps({"k": " 5 "})),  # quoted padded int -> 5
+    (9900009, 990003, "view", 7.0, json.dumps({"k": -1})),     # k%3+1 == 0: q84 zero fan-out
+    (9900010, 990003, "view", 8.0, json.dumps({"k": "-2"})),   # quoted negative -> n == -1
 ]
 eextra = pa.table(
     {
