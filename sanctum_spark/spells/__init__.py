@@ -37,6 +37,7 @@ from sanctum_spark.spells.runtime import (
     simulate,
     apply_spell,
     apply_expression_spell,
+    loop_expression_spell,
     loop_spell,
 )
 
@@ -44,6 +45,7 @@ __all__ = [
     "Spell",
     "ExpressionSpell",
     "apply_expression_spell",
+    "loop_expression_spell",
     "SpellError",
     "SpellNotATableError",
     "SpellMissingCastError",

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import base64
 import contextlib
+import copy as _copy
 import io as _io
 from collections.abc import Iterator
 from dataclasses import dataclass, field
@@ -80,7 +81,11 @@ def simulate(
     event = roundtrip(seed)
     if dump_events:
         result.dumps.append(dump_event_url(event))
-    result.events.append(event)
+    # snapshot, not the live reference: a cast that mutates its event
+    # in place (the common Lua idiom the reference suites use) would
+    # otherwise rewrite the recorded history — the msgpack round trip
+    # isolates consecutive casts but not the record of past states
+    result.events.append(_copy.deepcopy(event))
 
     stdout = _io.StringIO()
     try:
@@ -95,7 +100,7 @@ def simulate(
             event = roundtrip(out)
             if dump_events:
                 result.dumps.append(dump_event_url(event))
-            result.events.append(event)
+            result.events.append(_copy.deepcopy(event))
     finally:
         if spell.unprepare is not None:
             spell.unprepare()
@@ -142,13 +147,13 @@ def apply_spell(
     """
     if isinstance(spell, ExpressionSpell):
         if mode != "cast":
-            # an expression spell is a single filter+project; silently
+            # an expression spell is a single filter+project here; silently
             # returning loop-free output (no n_casts) would be wrong far
-            # from the cause — reject loudly instead
+            # from the cause — reject loudly and point at the loop tier
             raise ValueError(
                 f"ExpressionSpell {spell.name!r} supports mode='cast' only "
-                f"(got mode={mode!r}); feedback loops need a Python-tier "
-                "Spell"
+                f"(got mode={mode!r}); use loop_expression_spell for the "
+                "zero-Python feedback loop"
             )
         return apply_expression_spell(df, spell, topic_col=topic_col)
     if not isinstance(spell, Spell):
@@ -237,6 +242,136 @@ def loop_spell(
 ) -> DataFrame:
     return apply_spell(
         df, spell, output_schema, topic_col=topic_col, mode="loop", max_casts=max_casts
+    )
+
+
+def _rewrite_state_refs(expr: str, fields: list[str], ref: str) -> str:
+    """Rewrite bare state-field references in a SQL expression to struct
+    accesses on ``ref`` (longest names first so one field name being a
+    prefix of another can't corrupt the longer one).
+
+    LIMITATION (documented, like the _let anti-inlining note): the
+    rewrite is token-textual — a state-field name occurring inside a
+    string literal in the expression would be rewritten too.  Loop
+    spell expressions are arithmetic recurrences; keep literals free of
+    state-field names.
+    """
+    import re
+
+    out = expr
+    for n in sorted(fields, key=len, reverse=True):
+        out = re.sub(rf"(?<![\w.`]){re.escape(n)}(?![\w`])", f"{ref}.`{n}`", out)
+    return out
+
+
+def loop_expression_spell(
+    df: DataFrame,
+    spell: ExpressionSpell,
+    topic_col: str | None = None,
+    max_casts: int = RUNAWAY_LOOP_BOUND,
+    emit: str = "final",
+) -> DataFrame:
+    """Feedback loop (reference O7, runaway bound 1000 —
+    src/main.zig:127-166) for the zero-Python expression tier.
+
+    The whole loop compiles to ONE Catalyst fold per row — no Python
+    workers, no Arrow boundary, no driver iteration, no extra shuffle:
+
+        aggregate(sequence(1, N), <state0>,
+                  (acc, i) -> if(<where>(last), append(<project>(last)), acc))
+
+    which is the per-row analog of the reference's bounded
+    cast-until-nil loop: ``where`` failing is the expression analog of
+    ``cast`` returning nil.  Each event's feedback chain is independent
+    (same argument as apply_spell mode='loop'), so at 100 TB this stays
+    a single scan-shaped pass that whole-stage-codegens.
+
+    - ``emit='final'``: loop_spell output parity — carried columns +
+      final state fields + ``n_casts`` (counts the terminating nil cast,
+      capped at ``max_casts``).  Constant per-row memory: the fold
+      carries only (state, n, done).
+    - ``emit='all'``: the golden emission sequence — one row per
+      successful cast with a 1-based ``cast_idx`` (reference suites
+      decrement-counter* print exactly these states).  The fold
+      accumulates the state array, O(emitted²) element copies worst
+      case at the 1000 bound — use 'final' when the sequence itself
+      isn't needed.
+
+    ``spell.project`` values and ``spell.where`` must be SQL strings
+    (Columns can't be rewritten against the loop state); every project
+    key must exist as an input column (the seed state).  Expressions may
+    also reference non-state input columns — those stay constant across
+    iterations, reading from the row.
+    """
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    names = list(spell.project.keys())
+    bad = [k for k, v in spell.project.items() if isinstance(v, Column)] + (
+        ["where"] if isinstance(spell.where, Column) else []
+    )
+    if bad:
+        raise TypeError(
+            f"loop_expression_spell({spell.name!r}): project/where must be "
+            f"SQL strings in loop mode (Column objects can't be rewritten "
+            f"against the loop state): {bad}"
+        )
+    missing = [n for n in names if n not in df.columns]
+    if missing:
+        raise ValueError(
+            f"loop_expression_spell({spell.name!r}): seed columns missing "
+            f"for state fields {missing}"
+        )
+    if emit not in ("final", "all"):
+        raise ValueError(f"emit must be 'final' or 'all', got {emit!r}")
+
+    if topic_col is not None:
+        df = df.filter(topic_filter(spell, topic_col))
+
+    init = ", ".join(f"'{n}', `{n}`" for n in names)
+    carried = [c for c in df.columns if c not in names]
+
+    if emit == "all":
+        last = "element_at(acc, -1)"
+        where_sql = _rewrite_state_refs(str(spell.where or "true"), names, last)
+        step = ", ".join(
+            f"'{n}', ({_rewrite_state_refs(str(v), names, last)})"
+            for n, v in spell.project.items()
+        )
+        states = (
+            f"slice(aggregate(sequence(1, {int(max_casts)}), "
+            f"array(named_struct({init})), "
+            f"(acc, i) -> if(({where_sql}), "
+            f"array_append(acc, named_struct({step})), acc)), "
+            f"2, {int(max_casts)})"
+        )
+        ex = df.select(*carried, F.posexplode(F.expr(states)).alias("_i", "_s"))
+        return ex.select(
+            *carried,
+            (F.col("_i") + 1).alias("cast_idx"),
+            *[F.col(f"_s.`{n}`").alias(n) for n in names],
+        )
+
+    # emit='final': constant-memory fold carrying (state, n_casts, done)
+    last = "acc.s"
+    where_sql = _rewrite_state_refs(str(spell.where or "true"), names, last)
+    step = ", ".join(
+        f"'{n}', ({_rewrite_state_refs(str(v), names, last)})"
+        for n, v in spell.project.items()
+    )
+    fold = (
+        f"aggregate(sequence(1, {int(max_casts)}), "
+        f"named_struct('s', named_struct({init}), 'n', 0, 'done', false), "
+        f"(acc, i) -> if(acc.done, acc, "
+        f"if(({where_sql}), "
+        f"named_struct('s', named_struct({step}), 'n', acc.n + 1, 'done', false), "
+        f"named_struct('s', acc.s, 'n', acc.n + 1, 'done', true))))"
+    )
+    out = df.withColumn("_loop", F.expr(fold))
+    return out.select(
+        *carried,
+        *[F.col(f"_loop.s.`{n}`").alias(n) for n in names],
+        F.col("_loop.n").cast("long").alias("n_casts"),
     )
 
 
