@@ -69,13 +69,26 @@ def shingle_tokens(text_col: str | Column, k: int = 3) -> Column:
     col = F.col(text_col) if isinstance(text_col, str) else text_col
 
     def shingles_of(toks: Column) -> Column:
-        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1)))
+        # NULL-PROPAGATING floor: greatest()/least() SKIP nulls, so a bare
+        # lit(1) floor would resurrect the [""] shingle for NULL text;
+        # size(toks)*0+1 is 1 for real docs and NULL for NULL docs, which
+        # nulls the sequence -> transform -> array_distinct chain
+        floor1 = F.size(toks) * 0 + 1
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(k - 1), floor1))
         return F.array_distinct(
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
         )
 
-    return F.when(col.isNull(), F.array().cast("array<string>")).otherwise(
-        _let(F.split(F.lower(col), r"\s+"), shingles_of)
+    # coalesce, NOT when().otherwise(): CaseWhen branches are excluded
+    # from whole-stage-codegen subexpression elimination, so the r6
+    # when()-guarded form recomputed the whole shingle expression once
+    # per consumer (size + explode) — measured +50% on the q104 shape at
+    # sf0.1.  Coalesce's FIRST argument is always-evaluated and stays
+    # CSE-eligible; NULL text reaches the empty-array fallback through
+    # natural null propagation instead of a branch (r7 A/B attribution).
+    return F.coalesce(
+        _let(F.split(F.lower(col), r"\s+"), shingles_of),
+        F.array().cast("array<string>"),
     )
 
 
@@ -113,15 +126,23 @@ def shingle_hashes(text_col: str | Column, k: int = 3) -> Column:
     def shingles_of(th: Column) -> Column:
         # size(th) == n_tokens + (k-1) → shingle count = size(th) - 2(k-1)
         n_sh = F.size(th) - F.lit(2 * (k - 1))
-        idx = F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1)))
+        # null-propagating floor (see shingle_tokens): NULL text must
+        # yield NULL here, not a 1-element sequence
+        floor1 = F.size(th) * 0 + 1
+        idx = F.sequence(F.lit(1), F.greatest(n_sh, floor1))
         return F.array_distinct(
             F.transform(
                 idx, lambda i: F.xxhash64(*[F.element_at(th, i + j) for j in range(k)])
             )
         )
 
-    return F.when(col.isNull(), F.array().cast("array<long>")).otherwise(
-        _let(th_expr, shingles_of)
+    # coalesce, not when().otherwise() — same CSE rationale as
+    # shingle_tokens: NULL text propagates (split -> transform -> concat
+    # are all null-in/null-out) and the branch-free form keeps the
+    # expression subexpression-eliminable in codegen (r7 A/B attribution)
+    return F.coalesce(
+        _let(th_expr, shingles_of),
+        F.array().cast("array<long>"),
     )
 
 
