@@ -1,0 +1,222 @@
+"""Derive sf0.05 and sf0.2 fixture directories from the driver's sf0.1
+testdata for the empirical scaling curve (r6 verdict task #3).
+
+/root/testdata is read-only and the driver only ships sf{0.001,0.01,0.1},
+so the two missing curve points are DERIVED deterministically from sf0.1:
+
+- DIMENSIONS (region, nation, customer, supplier, part) stay constant
+  across scale factors — the 100 TB reality the engine designs for
+  (dims broadcast; facts scale), and what keeps query semantics
+  comparable across the curve.
+- sf0.05 = deterministic half-sample of each FACT table on its
+  top-level entity key (orders+lineitem on orderkey%2 so FK integrity
+  holds; events on user_id%2 so sessions stay whole; documents on
+  doc_id%2; embeddings on vec_id%2).
+- sf0.2 = sf0.1 UNION a re-keyed second copy:
+  * orders/lineitem: keys offset by max+1, FK-consistently;
+  * events: new event_id/user_id ranges (2x users, same period —
+    volume growth, constant per-user history);
+  * documents: 5000 NEW docs sampled from the sf0.1 corpus's unigram
+    model (empirical word frequencies + empirical doc lengths), so the
+    shingle/vocabulary statistics scale the way a bigger real corpus
+    would — duplicating text verbatim would instead double every
+    near-dup cluster and fabricate a superlinear pair count;
+  * embeddings: new unit vectors sampled around the empirical per-label
+    centroids with matched intra-cluster spread (fresh iid vectors
+    would erase the cluster structure q146 measures).
+
+Everything is seeded; re-running produces byte-identical tables.
+Output: <out>/sf0.05/*.parquet and <out>/sf0.2/*.parquet
+(default out = /root/repo/.scalefix, gitignored).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scalefix"
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+SEED = 20260814
+
+
+def _copy(con, table: str, dst: str, sql: str) -> None:
+    con.execute(
+        f"COPY ({sql}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
+    )
+
+
+def gen_half(con) -> None:
+    dst = f"{OUT}/sf0.05"
+    os.makedirs(dst, exist_ok=True)
+    for t in DIMS:
+        _copy(con, t, dst, f"SELECT * FROM src_{t}")
+    _copy(con, "orders", dst, "SELECT * FROM src_orders WHERE o_orderkey % 2 = 0")
+    _copy(con, "lineitem", dst, "SELECT * FROM src_lineitem WHERE l_orderkey % 2 = 0")
+    _copy(con, "events", dst, "SELECT * FROM src_events WHERE user_id % 2 = 0")
+    _copy(con, "documents", dst, "SELECT * FROM src_documents WHERE doc_id % 2 = 0")
+    _copy(con, "embeddings", dst, "SELECT * FROM src_embeddings WHERE vec_id % 2 = 0")
+
+
+def _synth_documents(con, rng: np.random.RandomState) -> pa.Table:
+    """5000 new docs from the sf0.1 unigram model."""
+    rows = con.execute(
+        "SELECT doc_id, text, lang, source FROM src_documents"
+    ).fetchall()
+    from collections import Counter
+
+    freq: Counter = Counter()
+    lengths: list[int] = []
+    lang_src: list[tuple[str, str]] = []
+    for _, text, lang, source in rows:
+        toks = (text or "").split()
+        freq.update(toks)
+        lengths.append(len(toks))
+        lang_src.append((lang, source))
+    vocab = sorted(freq)
+    p = np.array([freq[w] for w in vocab], dtype=float)
+    p /= p.sum()
+    n_new = len(rows)
+    max_id = max(r[0] for r in rows)
+    ids, texts, langs, sources, n_chars = [], [], [], [], []
+    len_choices = rng.choice(len(lengths), size=n_new)
+    ls_choices = rng.choice(len(lang_src), size=n_new)
+    for i in range(n_new):
+        n_tok = max(lengths[len_choices[i]], 1)
+        words = rng.choice(vocab, size=n_tok, p=p)
+        text = " ".join(words)
+        ids.append(max_id + 1 + i)
+        texts.append(text)
+        lang, source = lang_src[ls_choices[i]]
+        langs.append(lang)
+        sources.append(source)
+        n_chars.append(len(text))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+        }
+    )
+
+
+def _synth_embeddings(con, rng: np.random.RandomState) -> pa.Table:
+    """New unit vectors around empirical per-label centroids."""
+    rows = con.execute(
+        "SELECT vec_id, embedding, label FROM src_embeddings"
+    ).fetchall()
+    max_id = max(r[0] for r in rows)
+    by_label: dict[int, list[np.ndarray]] = {}
+    for _, emb, label in rows:
+        by_label.setdefault(label, []).append(np.array(emb, dtype=np.float64))
+    stats = {}
+    for label, vs in by_label.items():
+        m = np.mean(vs, axis=0)
+        spread = float(np.mean([np.linalg.norm(v - m) for v in vs]))
+        stats[label] = (m, spread, len(vs))
+    labels = sorted(stats)
+    weights = np.array([stats[l][2] for l in labels], dtype=float)
+    weights /= weights.sum()
+    n_new = len(rows)
+    dim = len(rows[0][1])
+    ids, embs, labs = [], [], []
+    lab_choices = rng.choice(len(labels), size=n_new, p=weights)
+    for i in range(n_new):
+        label = labels[lab_choices[i]]
+        m, spread, _ = stats[label]
+        noise = rng.normal(0.0, 1.0, dim)
+        noise *= spread / max(np.linalg.norm(noise), 1e-12)
+        v = m + noise
+        v /= max(np.linalg.norm(v), 1e-12)
+        ids.append(max_id + 1 + i)
+        embs.append([float(x) for x in v])
+        labs.append(int(label))
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(embs, pa.list_(pa.float32())),
+            "label": pa.array(labs, pa.int32()),
+        }
+    )
+
+
+def gen_double(con) -> None:
+    dst = f"{OUT}/sf0.2"
+    os.makedirs(dst, exist_ok=True)
+    for t in DIMS:
+        _copy(con, t, dst, f"SELECT * FROM src_{t}")
+    ok = con.execute("SELECT MAX(o_orderkey)+1 FROM src_orders").fetchone()[0]
+    cols_o = [
+        c
+        for c in con.execute("SELECT * FROM src_orders LIMIT 0").df().columns
+        if c != "o_orderkey"
+    ]
+    _copy(
+        con,
+        "orders",
+        dst,
+        "SELECT * FROM src_orders UNION ALL "
+        f"SELECT o_orderkey + {ok} AS o_orderkey, {', '.join(cols_o)} FROM src_orders",
+    )
+    cols_l = [
+        c
+        for c in con.execute("SELECT * FROM src_lineitem LIMIT 0").df().columns
+        if c != "l_orderkey"
+    ]
+    _copy(
+        con,
+        "lineitem",
+        dst,
+        "SELECT * FROM src_lineitem UNION ALL "
+        f"SELECT l_orderkey + {ok} AS l_orderkey, {', '.join(cols_l)} FROM src_lineitem",
+    )
+    ek = con.execute("SELECT MAX(event_id)+1 FROM src_events").fetchone()[0]
+    uk = con.execute("SELECT MAX(user_id)+1 FROM src_events").fetchone()[0]
+    _copy(
+        con,
+        "events",
+        dst,
+        "SELECT * FROM src_events UNION ALL "
+        f"SELECT event_id + {ek} AS event_id, ts, user_id + {uk} AS user_id, "
+        "event_type, value, props FROM src_events",
+    )
+    rng = np.random.RandomState(SEED)
+    new_docs = _synth_documents(con, rng)
+    base_docs = pq.read_table(f"{SRC}/documents.parquet").cast(new_docs.schema)
+    pq.write_table(
+        pa.concat_tables([base_docs, new_docs]), f"{dst}/documents.parquet"
+    )
+    new_emb = _synth_embeddings(con, rng)
+    base_emb = pq.read_table(f"{SRC}/embeddings.parquet").cast(new_emb.schema)
+    pq.write_table(
+        pa.concat_tables([base_emb, new_emb]), f"{dst}/embeddings.parquet"
+    )
+
+
+def main() -> None:
+    con = duckdb.connect()
+    for t in DIMS + ["orders", "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW src_{t} AS SELECT * FROM "
+            f"read_parquet('{SRC}/{t}.parquet')"
+        )
+    gen_half(con)
+    gen_double(con)
+    for sf in ("sf0.05", "sf0.2"):
+        sizes = {
+            t: pq.read_metadata(f"{OUT}/{sf}/{t}.parquet").num_rows
+            for t in ["lineitem", "orders", "events", "documents", "embeddings"]
+        }
+        print(sf, sizes)
+
+
+if __name__ == "__main__":
+    main()
