@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from sanctum_spark.io import load_table, register_views
 from sanctum_spark.queries import register
-from sanctum_spark.queries.util import stable_round
+from sanctum_spark.queries.util import sql_codepoint_levenshtein, stable_round
 
 _WEEK_NS = 7 * 86_400 * 1_000_000_000
 
@@ -266,15 +266,18 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q115_fuzzy_vocab",
-    r"""
+    rf"""
     WITH v AS (SELECT DISTINCT unnest(
                    string_split_regex(lower(trim(text)), '\s+')) AS w
-               FROM documents)
-    SELECT a.w AS w1, b.w AS w2, levenshtein(a.w, b.w) AS dist
-    FROM v a JOIN v b
-      ON abs(length(a.w) - length(b.w)) <= 2
-     AND a.w < b.w
-    WHERE levenshtein(a.w, b.w) <= 2
+               FROM documents),
+    cand AS (
+        SELECT a.w AS w1, b.w AS w2,
+               {sql_codepoint_levenshtein("a.w", "b.w")} AS dist
+        FROM v a JOIN v b
+          ON abs(length(a.w) - length(b.w)) <= 2
+         AND a.w < b.w
+    )
+    SELECT w1, w2, dist FROM cand WHERE dist <= 2
     """,
     doc=(
         "fuzzy vocabulary matching: token pairs within Levenshtein "
@@ -283,12 +286,12 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
         ">= length difference, so |len diff| <= 2 is exact, not a "
         "heuristic) over the DISTINCT'd vocabulary, which is bounded by "
         "corpus vocabulary, not corpus size; the distance UDF-free "
-        "levenshtein runs only on survivors. Known engine divergence on "
-        "NON-ASCII vocabulary only: Spark's levenshtein counts Unicode "
-        "code points (the intended semantics) while DuckDB's counts "
-        "BYTES, so the oracle pairing is exact for ASCII tokens and "
-        "diverges on multibyte ones (pinned in "
-        "tests/test_edge_invariants_b10.py; r6 unicode sweep). At a 10^6-word real vocab "
+        "levenshtein runs only on survivors. The oracle distance is "
+        "CODE-POINT-true on any vocabulary via an injective per-pair "
+        "recode to single-byte ASCII (util.sql_codepoint_levenshtein, "
+        "r7 — previously exact for ASCII only; the raw library "
+        "divergence stays pinned in tests/test_edge_invariants_b10.py). "
+        "At a 10^6-word real vocab "
         "the pair space needs q-gram prefix filtering (EDJoin/PassJoin) "
         "before the verify — same candidates-then-verify shape as the "
         "MinHash family."

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from sanctum_spark.io import load_table
 from sanctum_spark.queries import register
+from sanctum_spark.queries.util import sql_codepoint_levenshtein
 
 # BM25 hyperparameters (the standard Okapi defaults) and the fixed query.
 BM25_K1 = 1.2
@@ -37,7 +38,7 @@ BM25_TOPK = 10
 
 @register(
     "q161_entity_resolution",
-    """
+    f"""
     WITH RECURSIVE recs AS (
         SELECT p_partkey AS id, p_name AS name, p_brand AS brand,
                p_type AS kind
@@ -48,7 +49,7 @@ BM25_TOPK = 10
         FROM recs a JOIN recs b
           ON a.brand = b.brand AND a.kind = b.kind AND a.id < b.id
          AND abs(length(a.name) - length(b.name)) <= 1
-         AND levenshtein(a.name, b.name) <= 1
+         AND {sql_codepoint_levenshtein("a.name", "b.name")} <= 1
     ),
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM prs
@@ -80,9 +81,9 @@ BM25_TOPK = 10
         "candidate pairs only ever form inside a block, so the fuzzy "
         "predicate never sees the cross product — then a cheap "
         "length-delta pre-filter, then JVM levenshtein on survivors "
-        "(code-point distance — DuckDB's levenshtein counts BYTES, so "
-        "the oracle pairing is exact for the ASCII part catalog and "
-        "diverges on multibyte names; see q115's note), "
+        "(code-point distance; the oracle matches it on ANY name via "
+        "util.sql_codepoint_levenshtein's injective ASCII recode — r7, "
+        "previously exact for ASCII only), "
         "then transitive closure via the shared connected-components "
         "operator (A~B, B~C must land in one entity), then one grouped "
         "aggregate per entity.  Scale shape: the block self-join "

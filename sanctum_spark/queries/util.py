@@ -129,3 +129,41 @@ def sql_json_int(col_sql: str, path_sql: str) -> str:
         f"THEN TRY_CAST(regexp_extract({s}, {int_re}, 1) AS BIGINT) "
         f"END)"
     )
+
+
+def sql_codepoint_levenshtein(a_sql: str, b_sql: str) -> str:
+    """DuckDB SQL for a CODE-POINT Levenshtein distance matching Spark's
+    ``F.levenshtein`` on any input (closes the r6 verdict's task #8
+    blind spot, where oracle pairing for q115/q161 was exact only for
+    ASCII).
+
+    DuckDB's ``levenshtein`` counts BYTES ('café' vs 'cafe' = 2); edit
+    distance depends only on the EQUALITY STRUCTURE of the symbol
+    sequences, so recoding each pair's code points injectively into
+    single-byte ASCII (chr(1)..chr(127)) makes byte distance equal
+    code-point distance.  Per pair: collect the distinct code points of
+    a||b (``string_split(s, '')`` is code-point-wise in DuckDB),
+    ``translate`` both strings through codepoint->alphabet, then
+    byte-levenshtein.  The recode is injective because the char list is
+    distinct and the alphabet characters are distinct.
+
+    RESIDUAL DOMAIN: a pair with > 127 distinct code points falls back
+    to raw byte levenshtein (translate with a shorter 'to' would DELETE
+    characters — worse than the documented divergence).  Tokens and
+    names are far below that bound; pinned in
+    tests/test_edge_invariants_b14.py.  NULL inputs take the fallback
+    branch and stay NULL on both engines.
+    """
+    chars = f"list_distinct(string_split({a_sql} || {b_sql}, ''))"
+    alpha = (
+        "array_to_string(list_transform(generate_series(1, 127), "
+        "i -> chr(CAST(i AS INTEGER))), '')"
+    )
+    from_s = f"array_to_string({chars}, '')"
+    to_s = f"substr({alpha}, 1, len({chars}))"
+    return (
+        f"(CASE WHEN len({chars}) <= 127 THEN "
+        f"levenshtein(translate({a_sql}, {from_s}, {to_s}), "
+        f"translate({b_sql}, {from_s}, {to_s})) "
+        f"ELSE levenshtein({a_sql}, {b_sql}) END)"
+    )

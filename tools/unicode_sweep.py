@@ -1,11 +1,15 @@
 """Full-registry Unicode sweep: the source fixture's documents plus
 CJK-without-spaces, ZWJ emoji, combining marks, Turkish I forms,
 NBSP/ideographic space and RTL Arabic rows.  Expected steady state
-(r6): only the two documented engine-library divergences — q115 (and
-any lower()-derived query when the Turkish İ row is present): DuckDB
-levenshtein counts BYTES vs Spark code points, and utf8proc simple
-case folding vs JVM full case mapping on U+0130 (pinned in
-tests/test_edge_invariants_b10.py).
+(r7): exactly 5 MISMATCH rows (q77, q106, q110, q114, q122), all
+attributed to ONE remaining engine-library divergence — DuckDB's
+utf8proc simple case folding vs the JVM's full case mapping on U+0130
+'İ' (lower()-derived tokens diverge only when that character is
+present; pinned from both sides in tests/test_edge_invariants_b10.py).
+The byte-vs-code-point levenshtein divergence that also broke q115
+through r6 is CLOSED: util.sql_codepoint_levenshtein recodes each pair
+injectively to ASCII, so q115/q161 now match on any vocabulary
+(tests/test_edge_invariants_b14.py).
 
 Usage: PYTHONPATH=. python tools/unicode_sweep.py
 """
