@@ -142,6 +142,18 @@ def build_tables(dst: str, seed: int) -> None:
             props.append('{"k": "txt"}')       # non-numeric k
         elif r < 0.13:
             props.append('{"other": 1}')       # missing k
+        elif r < 0.16:
+            # QUOTED integer string: Spark try_cast parses it, so the
+            # oracle must too (r7, sql_json_int VARCHAR arm)
+            props.append('{"k": "%d"}' % rng.integers(0, 100))
+        elif r < 0.18:
+            # negative k: n = k%3+1 can be 0 or -1 (q84 zero fan-out)
+            props.append('{"k": %d}' % rng.integers(-10, 0))
+        elif r < 0.20:
+            # quoted decimal / padded quoted int: NULL vs trim parity
+            props.append(
+                rng.choice(['{"k": "3.7"}', '{"k": " 5 "}', '{"k": "+7"}'])
+            )
         else:
             props.append('{"k": %d}' % rng.integers(0, 100))
     pq.write_table(pa.table({
