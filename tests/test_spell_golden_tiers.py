@@ -222,3 +222,39 @@ def test_loop_expression_rejects_column_exprs(spark):
         loop_expression_spell(
             spark.createDataFrame([(1,)], ["x"]), DECR
         )
+
+
+def test_q81_loop_expression_tier_matches_registered_query(spark, sf_dir):
+    """The registered q81 feedback loop (mapInPandas row tier over the
+    REAL events table) equals the zero-Python expression loop.
+
+    Semantics note: q81's row tier sees a missing/malformed $.k as NaN
+    (pandas NULL), and NaN <= 1 is False, so the spell can never
+    terminate and runs to the 1000-cast runaway bound; the expression
+    analog is `counter IS NULL OR counter > 1` (NULL - 1 stays NULL, so
+    the state is a fixed point and the bound fires)."""
+    import sanctum_spark.queries as qreg
+    from pyspark.sql import functions as F
+
+    from sanctum_spark.io import load_table
+
+    qreg.load_all_modules()
+    row_tier = {
+        r["event_id"]: r["n_casts"]
+        for r in qreg.REGISTRY["q81_spell_loop"].fn(spark, sf_dir).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("long").alias("counter"),
+    )
+    spell = ExpressionSpell(
+        name="decrement-q81",
+        project={"counter": "counter - 1"},
+        where="counter IS NULL OR counter > 1",
+    )
+    expr_tier = {
+        r["event_id"]: r["n_casts"]
+        for r in loop_expression_spell(ev, spell, emit="final").collect()
+    }
+    assert expr_tier == row_tier and len(expr_tier) > 0
