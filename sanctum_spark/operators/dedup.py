@@ -174,13 +174,20 @@ def minhash_signatures(
     Documents with no shingles (NULL text) are excluded at the scan:
     they cannot be near-duplicates of anything, their all-NULL signature
     would band to one constant key (a false mega-bucket), and the exact
-    verification's jaccard would hit 0/0."""
+    verification's jaccard would hit 0/0.  The exclusion is a
+    ``text IS NOT NULL`` pre-filter, which is EQUIVALENT to the r6
+    ``size(shingles) > 0`` form (a non-NULL text always has >= 1
+    shingle, the degenerate [''] included) but pushes to the parquet
+    scan instead of re-evaluating the whole shingle expression inside
+    the filter predicate (projection<->filter have no cross-operator
+    CSE — the same class of cost as the r7 CaseWhen finding)."""
+    tcol = F.col(text_col) if isinstance(text_col, str) else text_col
     return (
-        df.select(
+        df.filter(tcol.isNotNull())
+        .select(
             F.col(id_col).alias("id"),
             shingle_hashes(text_col, shingle_k).alias("shingles"),
         )
-        .filter(F.size("shingles") > 0)
         .withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
     )
 
