@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from sanctum_spark.io import load_table
+from sanctum_spark.operators.dedup import hashed_word_windows
 from sanctum_spark.queries import register
 from sanctum_spark.queries.util import stable_round
 
@@ -1216,17 +1217,9 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.when(_u16_spark() < 6554, "test").otherwise("train").alias("cand"),
     )
-    toks = F.split(F.trim(F.lower("text")), r"\s+")
-    n_windows = F.size(toks) - 4
-    windows = F.when(
-        F.size(toks) >= 5,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n_windows),
-                lambda i: F.xxhash64(F.array_join(F.slice(toks, i, 5), " ")),
-            )
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    # _let-bound, branch-free window hashing (see hashed_word_windows:
+    # the prior when()+unbound-lambda form re-tokenized per window)
+    windows = hashed_word_windows("text", k=5, distinct=True)
     sh = assigned.select(
         "doc_id", "cand", F.explode(windows).alias("shingle")
     )
