@@ -287,18 +287,32 @@ def text_profile(
 
 
 def char_ngrams(col: str | Column, n: int = 3) -> Column:
-    """Character n-grams of the lowercased text as an array<string>.
+    """Character n-grams of the lowercased text as an array<string>;
+    texts shorter than n (and NULL text) yield an empty array.
 
-    Guarded for short strings: ``sequence(1, len-n+1)`` would DESCEND for
-    len < n (Spark generates [1, 0] for sequence(1, 0)), so texts shorter
-    than n yield an empty array instead."""
-    c = F.lower(F.col(col) if isinstance(col, str) else col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length(c) - (n - 1)),
-        lambda i: c.substr(i, F.lit(n)),
-    )
-    return F.when(F.length(c) >= n, grams).otherwise(
-        F.array().cast("array<string>")
+    The lowercased string is _let-BOUND: the transform lambda substrings
+    it once per gram, and unbound Catalyst inlines the lower() into
+    every gram (no lambda CSE) — O(len²) character copying per document.
+    The short-string guard is branch-free (``sequence(1, len-n+1)``
+    would DESCEND for len < n, so the null-propagating floor + slice
+    pattern from hashed_word_windows applies); the previous when()
+    branch was additionally excluded from codegen subexpression
+    elimination (r7 shingle finding)."""
+    from sanctum_spark.operators.dedup import _let
+
+    raw = F.col(col) if isinstance(col, str) else col
+
+    def body(s: Column) -> Column:
+        m = F.length(s) - F.lit(n - 1)
+        floor1 = F.length(s) * 0 + 1
+        full = F.transform(
+            F.sequence(F.lit(1), F.greatest(m, floor1)),
+            lambda i: s.substr(i, F.lit(n)),
+        )
+        return F.slice(full, 1, F.greatest(m, F.length(s) * 0))
+
+    return F.coalesce(
+        _let(F.lower(raw), body), F.array().cast("array<string>")
     )
 
 
