@@ -453,17 +453,27 @@ def cooccurrence_pairs(docs: DataFrame, text_col: str = "text", window: int = 2)
     index arithmetic, no OOB risk under ANSI mode) and exploded; the pair
     key space is bounded by vocab**2 regardless of corpus size, so any
     downstream aggregate — not the explode — is the only exchange.
+
+    The lowered token array is _let-BOUND: it is referenced 2+4·window
+    times inside the concat-of-zip_withs, and the Generate input gets no
+    subexpression elimination, so unbound it re-tokenized the document
+    per reference (r7 audit; measured 0.92 -> 0.46 s for the pair stage
+    at sf0.1, identical output).
     """
-    toks = F.transform(tokens(F.col(text_col)), lambda w: F.lower(w))
-    n = F.size(toks)
+    from sanctum_spark.operators.dedup import _let
 
-    def pairs_at(off: int) -> Column:
-        ln = F.greatest(n - off, F.lit(0))
-        return F.zip_with(
-            F.slice(toks, 1, ln),
-            F.slice(toks, 1 + off, ln),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        )
+    def body(t: Column) -> Column:
+        n = F.size(t)
 
-    allp = F.concat(*[pairs_at(o) for o in range(1, window + 1)])
+        def pairs_at(off: int) -> Column:
+            ln = F.greatest(n - off, F.lit(0))
+            return F.zip_with(
+                F.slice(t, 1, ln),
+                F.slice(t, 1 + off, ln),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+
+        return F.concat(*[pairs_at(o) for o in range(1, window + 1)])
+
+    allp = _let(F.transform(tokens(F.col(text_col)), lambda w: F.lower(w)), body)
     return docs.select(F.explode(allp).alias("pr")).select("pr.w1", "pr.w2")
