@@ -1,8 +1,9 @@
-"""Derive sf0.05 and sf0.2 fixture directories from the driver's sf0.1
-testdata for the empirical scaling curve (r6 verdict task #3).
+"""Derive sf0.05, sf0.2 and sf0.4 fixture directories from the driver's
+sf0.1 testdata for the empirical scaling curve (r6 verdict task #3;
+sf0.4 added in r7 for a third octave).
 
 /root/testdata is read-only and the driver only ships sf{0.001,0.01,0.1},
-so the two missing curve points are DERIVED deterministically from sf0.1:
+so the missing curve points are DERIVED deterministically from sf0.1:
 
 - DIMENSIONS (region, nation, customer, supplier, part) stay constant
   across scale factors — the 100 TB reality the engine designs for
@@ -12,7 +13,8 @@ so the two missing curve points are DERIVED deterministically from sf0.1:
   top-level entity key (orders+lineitem on orderkey%2 so FK integrity
   holds; events on user_id%2 so sessions stay whole; documents on
   doc_id%2; embeddings on vec_id%2).
-- sf0.2 = sf0.1 UNION a re-keyed second copy:
+- sf0.2 = sf0.1 UNION a re-keyed second copy (and sf0.4 = the same
+  doubling applied to sf0.2):
   * orders/lineitem: keys offset by max+1, FK-consistently;
   * events: new event_id/user_id ranges (2x users, same period —
     volume growth, constant per-user history);
@@ -64,10 +66,10 @@ def gen_half(con) -> None:
     _copy(con, "embeddings", dst, "SELECT * FROM src_embeddings WHERE vec_id % 2 = 0")
 
 
-def _synth_documents(con, rng: np.random.RandomState) -> pa.Table:
-    """5000 new docs from the sf0.1 unigram model."""
+def _synth_documents(con, rng: np.random.RandomState, prefix: str = "src") -> pa.Table:
+    """len(corpus) new docs from the source corpus's unigram model."""
     rows = con.execute(
-        "SELECT doc_id, text, lang, source FROM src_documents"
+        f"SELECT doc_id, text, lang, source FROM {prefix}_documents"
     ).fetchall()
     from collections import Counter
 
@@ -108,10 +110,10 @@ def _synth_documents(con, rng: np.random.RandomState) -> pa.Table:
     )
 
 
-def _synth_embeddings(con, rng: np.random.RandomState) -> pa.Table:
+def _synth_embeddings(con, rng: np.random.RandomState, prefix: str = "src") -> pa.Table:
     """New unit vectors around empirical per-label centroids."""
     rows = con.execute(
-        "SELECT vec_id, embedding, label FROM src_embeddings"
+        f"SELECT vec_id, embedding, label FROM {prefix}_embeddings"
     ).fetchall()
     max_id = max(r[0] for r in rows)
     by_label: dict[int, list[np.ndarray]] = {}
@@ -148,54 +150,62 @@ def _synth_embeddings(con, rng: np.random.RandomState) -> pa.Table:
     )
 
 
-def gen_double(con) -> None:
-    dst = f"{OUT}/sf0.2"
+def gen_double(
+    con,
+    dst_name: str = "sf0.2",
+    prefix: str = "src",
+    src_dir: str = SRC,
+    seed: int = SEED,
+) -> None:
+    """Write <OUT>/<dst_name> = the <prefix>_* tables UNION a re-keyed
+    second copy (same scheme at every octave, so sf0.4 = double(sf0.2))."""
+    dst = f"{OUT}/{dst_name}"
     os.makedirs(dst, exist_ok=True)
     for t in DIMS:
-        _copy(con, t, dst, f"SELECT * FROM src_{t}")
-    ok = con.execute("SELECT MAX(o_orderkey)+1 FROM src_orders").fetchone()[0]
+        _copy(con, t, dst, f"SELECT * FROM {prefix}_{t}")
+    ok = con.execute(f"SELECT MAX(o_orderkey)+1 FROM {prefix}_orders").fetchone()[0]
     cols_o = [
         c
-        for c in con.execute("SELECT * FROM src_orders LIMIT 0").df().columns
+        for c in con.execute(f"SELECT * FROM {prefix}_orders LIMIT 0").df().columns
         if c != "o_orderkey"
     ]
     _copy(
         con,
         "orders",
         dst,
-        "SELECT * FROM src_orders UNION ALL "
-        f"SELECT o_orderkey + {ok} AS o_orderkey, {', '.join(cols_o)} FROM src_orders",
+        f"SELECT * FROM {prefix}_orders UNION ALL "
+        f"SELECT o_orderkey + {ok} AS o_orderkey, {', '.join(cols_o)} FROM {prefix}_orders",
     )
     cols_l = [
         c
-        for c in con.execute("SELECT * FROM src_lineitem LIMIT 0").df().columns
+        for c in con.execute(f"SELECT * FROM {prefix}_lineitem LIMIT 0").df().columns
         if c != "l_orderkey"
     ]
     _copy(
         con,
         "lineitem",
         dst,
-        "SELECT * FROM src_lineitem UNION ALL "
-        f"SELECT l_orderkey + {ok} AS l_orderkey, {', '.join(cols_l)} FROM src_lineitem",
+        f"SELECT * FROM {prefix}_lineitem UNION ALL "
+        f"SELECT l_orderkey + {ok} AS l_orderkey, {', '.join(cols_l)} FROM {prefix}_lineitem",
     )
-    ek = con.execute("SELECT MAX(event_id)+1 FROM src_events").fetchone()[0]
-    uk = con.execute("SELECT MAX(user_id)+1 FROM src_events").fetchone()[0]
+    ek = con.execute(f"SELECT MAX(event_id)+1 FROM {prefix}_events").fetchone()[0]
+    uk = con.execute(f"SELECT MAX(user_id)+1 FROM {prefix}_events").fetchone()[0]
     _copy(
         con,
         "events",
         dst,
-        "SELECT * FROM src_events UNION ALL "
+        f"SELECT * FROM {prefix}_events UNION ALL "
         f"SELECT event_id + {ek} AS event_id, ts, user_id + {uk} AS user_id, "
-        "event_type, value, props FROM src_events",
+        f"event_type, value, props FROM {prefix}_events",
     )
-    rng = np.random.RandomState(SEED)
-    new_docs = _synth_documents(con, rng)
-    base_docs = pq.read_table(f"{SRC}/documents.parquet").cast(new_docs.schema)
+    rng = np.random.RandomState(seed)
+    new_docs = _synth_documents(con, rng, prefix)
+    base_docs = pq.read_table(f"{src_dir}/documents.parquet").cast(new_docs.schema)
     pq.write_table(
         pa.concat_tables([base_docs, new_docs]), f"{dst}/documents.parquet"
     )
-    new_emb = _synth_embeddings(con, rng)
-    base_emb = pq.read_table(f"{SRC}/embeddings.parquet").cast(new_emb.schema)
+    new_emb = _synth_embeddings(con, rng, prefix)
+    base_emb = pq.read_table(f"{src_dir}/embeddings.parquet").cast(new_emb.schema)
     pq.write_table(
         pa.concat_tables([base_emb, new_emb]), f"{dst}/embeddings.parquet"
     )
@@ -210,7 +220,18 @@ def main() -> None:
         )
     gen_half(con)
     gen_double(con)
-    for sf in ("sf0.05", "sf0.2"):
+    # third octave: sf0.4 = double(sf0.2), same re-keying scheme.  A
+    # distinct seed keeps the synthesized docs/vectors independent of the
+    # sf0.2 batch (re-running any single target stays deterministic).
+    for t in DIMS + ["orders", "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW d2_{t} AS SELECT * FROM "
+            f"read_parquet('{OUT}/sf0.2/{t}.parquet')"
+        )
+    gen_double(
+        con, dst_name="sf0.4", prefix="d2", src_dir=f"{OUT}/sf0.2", seed=SEED + 1
+    )
+    for sf in ("sf0.05", "sf0.2", "sf0.4"):
         sizes = {
             t: pq.read_metadata(f"{OUT}/{sf}/{t}.parquet").num_rows
             for t in ["lineitem", "orders", "events", "documents", "embeddings"]

@@ -1,9 +1,9 @@
 """Empirical scaling curve (r6 verdict task #3): run the headline query
-families at sf0.01 / 0.05 / 0.1 / 0.2 and measure the wall-time slope,
+families at sf0.01 / 0.05 / 0.1 / 0.2 / 0.4 and measure the wall-time slope,
 converting SCALE.md's plan-shape arguments into measured evidence over
 two octaves.
 
-sf0.01/0.1 are the driver's tables; sf0.05/0.2 are derived from sf0.1 by
+sf0.01/0.1 are the driver's tables; sf0.05/0.2/0.4 are derived from sf0.1 by
 tools/gen_scale_fixtures.py (run it first).  One fresh JVM per scale
 factor (bench.py's warmup), 1 discarded warm run + 3 timed runs per
 query, medians.
@@ -41,6 +41,7 @@ SFS = [
     (0.05, "/root/repo/.scalefix/sf0.05"),
     (0.1, "/root/testdata/sf0.1"),
     (0.2, "/root/repo/.scalefix/sf0.2"),
+    (0.4, "/root/repo/.scalefix/sf0.4"),
 ]
 
 
