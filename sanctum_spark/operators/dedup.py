@@ -438,35 +438,118 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     hashed: bool = False,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over ALL pairs sharing ≥1 shingle (no LSH).
+    """Exact n-gram Jaccard pairs (threshold ``t``) — EXACT result, with
+    prefix-filtered candidate generation (AllPairs/PPJoin, Bayardo et al.
+    WWW'07 / Xiao et al. WWW'08) as the default plan.
 
-    Exact but quadratic in the worst case — the scale path is
-    ``minhash_near_duplicates``; this is the ground-truth operator used to
-    validate it (and fine for moderate corpora after an exact-dedup pass).
+    The naive plan (``prefix_filter=False``) self-joins every shingle
+    instance: its candidate volume is sum-over-shingles of c·(c-1)/2, and
+    hot (stopword-like) shingles make that quadratic in shingle frequency
+    — measured 6.8x wall per corpus doubling at the sf0.4 octave, where
+    it also drags neighbors via GC pressure.  Prefix filtering removes
+    exactly those hot shingles from the candidate join while provably
+    keeping every qualifying pair:
 
-    ``hashed=True`` joins on 64-bit xxhash64 shingle hashes instead of
-    shingle strings: the shuffle ships 8-byte longs instead of strings and
-    the equi-join compares longs — same pair set (hash collisions aside),
-    ~2× cheaper. Use it when the caller needs the PAIRS, not the shingles
-    themselves (e.g. dedup clustering).
+    - canonical order: all shingles totally ordered by (global document
+      frequency asc, shingle asc) — rare shingles first;
+    - per-doc prefix: the first ``|A| - ceil(t·|A|) + 1`` shingles of the
+      doc's set in that order.  Any pair with ``J(A,B) >= t`` has
+      ``|A∩B| >= ceil(t·max(|A|,|B|))``, and two sets with overlap >= α
+      must intersect within their ``(size - α + 1)``-prefixes (prefix
+      lemma: the smallest common element in the canonical order cannot
+      sit in both suffixes of length α-1) — so candidates = prefix-shingle
+      equi-join, plus the size filter ``min >= t·max`` implied by J >= t;
+    - verification: exact Jaccard from ``array_intersect`` on the FULL
+      shingle sets, candidates only.  Same numerator/denominator values
+      as the naive join-count, so results are bit-identical.
+
+    Ceil guards subtract 1e-9 before ceiling: float rounding may land
+    ``t·n`` a hair ABOVE the exact rational (0.4×10 → 4.0000000000000002),
+    and an over-ceil would shorten the prefix / tighten the size filter —
+    the unsafe direction.  The slack only ever ADDS candidates.
+
+    ``hashed=True`` operates on 64-bit xxhash64 shingle hashes instead of
+    shingle strings: the shuffles ship 8-byte longs and the canonical
+    order/intersections compare longs — same pair set (hash collisions
+    aside), ~2× cheaper. Use it when the caller needs the PAIRS, not the
+    shingles themselves (e.g. dedup clustering).
+
+    Shuffle ledger (prefix plan): dfreq agg + join (keyed by shingle),
+    per-doc re-agg (keyed by id), prefix equi-join (keyed by shingle),
+    candidate distinct + two verify joins (keyed by id, candidate-sized).
+    Each stage is linear in corpus shingle volume except the candidate
+    join, whose output is bounded by PREFIX-shingle frequencies — rare by
+    construction.  ``minhash_near_duplicates`` remains the approximate
+    path when even one corpus pass per stage is too much.
     """
     make = shingle_hashes if hashed else shingle_tokens
     sh = df.select(
         F.col(id_col).alias("id"), make(text_col, shingle_k).alias("shingles")
     )
-    exploded = sh.select("id", F.explode("shingles").alias("shingle"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    if not prefix_filter:
+        exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+        a = exploded.alias("a")
+        b = exploded.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sizes = sh.select("id", F.size("shingles").alias("n_sh"))
+        return (
+            inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    t = float(threshold)
+    sh = sh.withColumn("n", F.size("shingles"))
+    ex = sh.filter(F.col("n") > 0).select("id", "n", F.explode("shingles").alias("s"))
+    # global document frequency per shingle — the canonical-order key.
+    # AQE broadcasts this (shingle, dfreq) table when the vocabulary is
+    # small; at scale it stays an equi-join co-partitioned with its agg.
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("dfreq"))
+    # under-approximated ceil(t*n): never rounds UP past the exact value
+    alpha = F.ceil(F.lit(t) * F.col("n") - F.lit(1e-9))
+    plen = (F.col("n") - alpha + F.lit(1)).cast("int")
+    pref = (
+        ex.join(dfreq, "s")
+        .groupBy("id", "n")
+        .agg(F.array_sort(F.collect_list(F.struct("dfreq", "s"))).alias("os"))
+        .select("id", "n", F.explode(F.slice(F.col("os"), F.lit(1), plen)).alias("ps"))
+        .select("id", "n", F.col("ps.s").alias("s"))
     )
-    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
+    pa = pref.alias("a")
+    pb = pref.alias("b")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id"))
+            # size filter: J >= t  ⇒  min(|A|,|B|) >= t·max(|A|,|B|)
+            & (F.col("b.n") >= F.lit(t) * F.col("a.n") - F.lit(1e-9))
+            & (F.col("a.n") >= F.lit(t) * F.col("b.n") - F.lit(1e-9)),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    av = sh.select(
+        F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"), F.col("n").alias("n_a")
+    )
+    bv = sh.select(
+        F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"), F.col("n").alias("n_b")
+    )
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
