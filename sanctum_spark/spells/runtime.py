@@ -250,6 +250,11 @@ def _rewrite_state_refs(expr: str, fields: list[str], ref: str) -> str:
     accesses on ``ref`` (longest names first so one field name being a
     prefix of another can't corrupt the longer one).
 
+    A match immediately followed by ``(`` is a FUNCTION CALL, not a
+    field reference (a bare state ref is never invoked), so a state
+    field that happens to share a SQL function's name — ``round`` in
+    ``round(round * 0.5, 2)`` — rewrites only the argument occurrence.
+
     LIMITATION (documented, like the _let anti-inlining note): the
     rewrite is token-textual — a state-field name occurring inside a
     string literal in the expression would be rewritten too.  Loop
@@ -260,7 +265,9 @@ def _rewrite_state_refs(expr: str, fields: list[str], ref: str) -> str:
 
     out = expr
     for n in sorted(fields, key=len, reverse=True):
-        out = re.sub(rf"(?<![\w.`]){re.escape(n)}(?![\w`])", f"{ref}.`{n}`", out)
+        out = re.sub(
+            rf"(?<![\w.`]){re.escape(n)}(?![\w`])(?!\s*\()", f"{ref}.`{n}`", out
+        )
     return out
 
 

@@ -259,3 +259,39 @@ def test_expression_spell_rejects_loop_mode(spark):
                                ["event_id", "event_type", "value"])
     with pytest.raises(ValueError, match="mode='cast' only"):
         loop_spell(df, BOOST_EXPR_SPELL, None, topic_col="event_type")
+
+
+def test_rewrite_state_refs_spares_function_calls():
+    """A state field sharing a SQL function's name must rewrite only as a
+    field REFERENCE, never where it is invoked: in ``round(round * 0.5, 2)``
+    with state field ``round``, the call head stays a function (a bare
+    state ref is never followed by ``(``)."""
+    from sanctum_spark.spells.runtime import _rewrite_state_refs
+
+    out = _rewrite_state_refs("round(round * 0.5, 2)", ["round"], "acc.s")
+    assert out == "round(acc.s.`round` * 0.5, 2)"
+    # whitespace before the paren is still a call
+    out2 = _rewrite_state_refs("abs (abs)", ["abs"], "acc.s")
+    assert out2 == "abs (acc.s.`abs`)"
+    # subtraction of a parenthesized term is NOT a call: rewrite applies
+    out3 = _rewrite_state_refs("counter - (1)", ["counter"], "acc.s")
+    assert out3 == "acc.s.`counter` - (1)"
+
+
+def test_loop_expression_state_field_named_like_function(spark):
+    """End-to-end: a loop whose state field is literally ``round`` and whose
+    step expression also CALLS round() — the rewrite guard keeps the call
+    intact while the recurrence reads the state field."""
+    from sanctum_spark.spells import ExpressionSpell
+    from sanctum_spark.spells.runtime import loop_expression_spell
+
+    df = spark.createDataFrame([(1, 2.0)], ["event_id", "round"])
+    sp = ExpressionSpell(
+        name="round_field_loop",
+        where="round > 0.5",
+        project={"round": "round(round / 2, 2)"},
+    )
+    rows = loop_expression_spell(df, sp).collect()
+    # 2.0 -> 1.0 -> 0.5 (fails where) => 2 successful casts + the nil cast
+    assert rows[0]["round"] == 0.5
+    assert rows[0]["n_casts"] == 3
