@@ -1,0 +1,84 @@
+"""Interleaved octave ratio measurement (drift-robust scaling slope).
+
+tools/scaling_curve.py runs each scale factor as its own sequential JVM
+leg; on a co-tenant host, load drift BETWEEN legs becomes fake slope
+(observed: q01, scale-independent at these sizes, read 0.38 / 1.05 /
+0.38 s across three legs of one run).  This runner measures ONE octave
+(default sf0.2 -> sf0.4) by ALTERNATING the two sides per round inside
+a single warm session — A B A B ... — so any load drift multiplies both
+sides of each round equally and the per-round ratio stays clean.  The
+reported ratio is median(B_i / A_i) over paired rounds, which is robust
+to both drift and isolated spikes.
+
+Usage:
+    python tools/octave_ab.py [A_dir B_dir [rounds]]
+Defaults: /root/repo/.scalefix/sf0.2 /root/repo/.scalefix/sf0.4, 5 rounds.
+Prints one JSON line: {query: {"a_med": s, "b_med": s, "ratio_med": r}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "q01_pricing_summary",
+    "q05_local_supplier_volume",
+    "q70_exact_dedup",
+    "q74_minhash_lsh_pairs",
+    "q99_dedup_clusters",
+    "q104_decontamination",
+    "q108_sequence_packing",
+    "q142_cross_source_overlap",
+    "q146_embedding_clusters",
+    "q152_cep_pattern",
+]
+
+
+def main() -> None:
+    a_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scalefix/sf0.2"
+    b_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scalefix/sf0.4"
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    import sanctum_spark.queries as qreg
+    from sanctum_spark.session import get_spark
+
+    qreg.load_all_modules()
+    spark = get_spark("octave_ab")
+
+    def run(name: str, sf: str) -> float:
+        fn = qreg.REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf).count()
+        dt = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        return dt
+
+    out = {}
+    for name in QUERIES:
+        run(name, a_dir)  # warm codegen/page cache for both sides
+        run(name, b_dir)
+        pairs = []
+        for _ in range(rounds):
+            ta = run(name, a_dir)
+            tb = run(name, b_dir)
+            pairs.append((ta, tb))
+        out[name] = {
+            "a_med": round(statistics.median(p[0] for p in pairs), 3),
+            "b_med": round(statistics.median(p[1] for p in pairs), 3),
+            "ratio_med": round(
+                statistics.median(p[1] / p[0] for p in pairs), 2
+            ),
+        }
+        print(f"# {name}: {out[name]}", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
