@@ -445,12 +445,25 @@ def ngram_jaccard_pairs(
     WWW'07 / Xiao et al. WWW'08) as the default plan.
 
     The naive plan (``prefix_filter=False``) self-joins every shingle
-    instance: its candidate volume is sum-over-shingles of c·(c-1)/2, and
-    hot (stopword-like) shingles make that quadratic in shingle frequency
-    — measured 6.8x wall per corpus doubling at the sf0.4 octave, where
-    it also drags neighbors via GC pressure.  Prefix filtering removes
-    exactly those hot shingles from the candidate join while provably
-    keeping every qualifying pair:
+    instance: its candidate volume is sum-over-shingles of c·(c-1)/2, so
+    hot (stopword-like) shingles make it quadratic in per-shingle
+    frequency — measured 3.96x candidate pairs per corpus doubling
+    (1.27M -> 5.01M, sf0.1 -> sf0.2; SCALE.md's q99 decomposition).
+    Prefix filtering bounds candidates by RARE-shingle frequencies
+    instead, at the price of three extra corpus-linear stages (dfreq
+    agg+join, per-doc canonical re-agg, candidate distinct).  Measured
+    crossover (interleaved paired ratios prefix/naive, r7 —
+    EVIDENCE_r7.md): 2.0x SLOWER at the q91 quarter-slice and 1.9x at
+    full sf0.1 (fixed stage overhead dominates), 0.75x (faster) at full
+    sf0.2, ~1.0x at sf0.4 under heavy co-tenant noise.  Default True is
+    the safe choice for an UNKNOWN corpus (the naive plan's failure mode
+    is unbounded, the prefix plan's is a bounded constant); the
+    registered validation queries pin ``prefix_filter=False`` because
+    their density is fixed by construction and below the crossover.  At
+    genuine scale the exact operator is a VALIDATOR either way —
+    ``minhash_near_duplicates`` is the production near-dup path.
+    Prefix filtering removes exactly the hot shingles from the candidate
+    join while provably keeping every qualifying pair:
 
     - canonical order: all shingles totally ordered by (global document
       frequency asc, shingle asc) — rare shingles first;

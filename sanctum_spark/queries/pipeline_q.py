@@ -60,8 +60,13 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashed=True: the join key is the xxhash64 of the shingle, not the
     # string — jaccard is computed from set cardinalities, so the values
     # are identical while the shuffle ships 8-byte longs (measured ~2x).
+    # prefix_filter=False: this is the fixed quarter-slice VALIDATION
+    # query — its density never grows, and below the measured crossover
+    # the naive plan is ~2x faster (paired A/B, r7 EVIDENCE; results
+    # bit-identical, pinned by test_prefix_filtered_jaccard_equals_naive)
     out = ngram_jaccard_pairs(
-        docs, "text", "doc_id", shingle_k=3, threshold=0.4, hashed=True
+        docs, "text", "doc_id", shingle_k=3, threshold=0.4, hashed=True,
+        prefix_filter=False,
     )
     return out.select(
         "id_a", "id_b", stable_round(F.col("jaccard"), 6).alias("jaccard")
@@ -430,8 +435,13 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctum_spark.operators.dedup import connected_components, ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
+    # prefix_filter=False: ground-truth clustering at a fixed validation
+    # scale, below the measured prefix/naive crossover (1.9x faster
+    # naive at full sf0.1, r7 paired A/B); the 100 TB clustering path is
+    # MinHash candidates (q74) + the same connected_components
     pairs = ngram_jaccard_pairs(
-        docs, "text", "doc_id", shingle_k=3, threshold=0.4, hashed=True
+        docs, "text", "doc_id", shingle_k=3, threshold=0.4, hashed=True,
+        prefix_filter=False,
     )
     comp = connected_components(pairs, "id_a", "id_b")
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))

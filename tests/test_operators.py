@@ -1662,3 +1662,43 @@ def test_bm25_operator_scores_and_topk(spark):
     assert [r["doc_id"] for r in top] == sorted(
         scores, key=lambda d: (-scores[d], d)
     )[:2]
+
+
+def test_prefix_filtered_jaccard_equals_naive(spark):
+    """PPJoin prefix filtering must be an exact PLAN substitution: same
+    (id_a, id_b, jaccard) set as the naive all-shared-shingle self-join
+    on a corpus crafted to stress it — a stopword shingle shared by
+    EVERY doc (the hot key the prefix is supposed to drop), near-dup
+    pairs at/above/below threshold, a doc with < k tokens (degenerate
+    single shingle), an empty string, and a NULL text.  Checked at two
+    thresholds whose t*n lands exactly on integer boundaries (the ceil
+    guard's unsafe direction) and in both hashed and string modes."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog end marker one"),
+        (2, "the quick brown fox jumps over the lazy dog end marker two"),
+        (3, "the quick brown fox leaps over the lazy dog end marker one"),
+        (4, "completely different text body with the common tail words"),
+        (5, "the"),          # fewer tokens than k -> one degenerate shingle
+        (6, ""),             # empty string
+        (7, None),           # NULL text -> no shingles at all
+        (8, "another unrelated document sharing only the stopword the"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for threshold in (0.4, 0.5):
+        for hashed in (False, True):
+            naive = {
+                (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in D.ngram_jaccard_pairs(
+                    docs, "text", "doc_id", threshold=threshold,
+                    hashed=hashed, prefix_filter=False,
+                ).collect()
+            }
+            pref = {
+                (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in D.ngram_jaccard_pairs(
+                    docs, "text", "doc_id", threshold=threshold,
+                    hashed=hashed, prefix_filter=True,
+                ).collect()
+            }
+            assert pref == naive, (threshold, hashed, pref ^ naive)
+            assert naive  # the fixture must actually produce pairs
