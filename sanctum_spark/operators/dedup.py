@@ -454,13 +454,13 @@ def ngram_jaccard_pairs(
     agg+join, per-doc canonical re-agg, candidate distinct).  Measured
     crossover (interleaved paired ratios prefix/naive, r7 —
     EVIDENCE_r7.md): 2.0x SLOWER at the q91 quarter-slice and 1.9x at
-    full sf0.1 (fixed stage overhead dominates), 0.75x (faster) at full
-    sf0.2, ~1.0x at sf0.4 under heavy co-tenant noise.  Default True is
-    the safe choice for an UNKNOWN corpus (the naive plan's failure mode
-    is unbounded, the prefix plan's is a bounded constant); the
-    registered validation queries pin ``prefix_filter=False`` because
-    their density is fixed by construction and below the crossover.  At
-    genuine scale the exact operator is a VALIDATOR either way —
+    full sf0.1 (fixed stage overhead dominates), 0.75-0.86x (faster) at
+    full sf0.2, and 0.41x at full sf0.4 on the q99 pipeline — where
+    naive runs 3.77x wall per doubling (above any allowance) and prefix
+    2.03x.  Default True is the plan that survives corpus growth;
+    fixed-density callers below the crossover (q91's quarter-slice
+    validation) may pin ``prefix_filter=False`` for the ~2x constant.
+    At genuine scale the exact operator is a VALIDATOR either way —
     ``minhash_near_duplicates`` is the production near-dup path.
     Prefix filtering removes exactly the hot shingles from the candidate
     join while provably keeping every qualifying pair:
