@@ -82,82 +82,83 @@ def load_all_modules() -> None:
 # 159 (r6 verdict task #6), so the rotation cycles the whole surface every
 # ~3 rounds.
 #
-# Round 7 selection (last-driver-round census over CORRECTNESS_r01–r06):
-#   1. the 12 queries whose last driver row is r02 — four rounds stale
-#      (q17–q19, q21, q22, q24, q41, q42, q53, q55, q57, q58);
-#   2. 37 of the 49 r03-era queries, prioritizing families whose shared
-#      code moved in r5/r6: the spell surface q80–q85 (expression tier,
-#      runtime refactors), text/JSON-touched q61/q71/q72/q76/q105/q122/
-#      q123 (try_cast hardening, unicode sweep fixes), dedup/similarity
-#      q70/q73/q91/q92/q99/q120 (zero-norm + NULL-vector guards), and the
-#      streaming/event families q60/q62–q65/q86/q89;
-#   3. q67_props_as_map (last row r06, but its oracle helper
-#      ``util.sql_json_int`` changes this round per ADVICE item 2 —
-#      re-verify the new oracle externally).
-#   Deferred to r8 (12 r03-era rows, each with an r5/r6-verified
-#   same-family sibling): q44/q45 (joins ~ q03–q13 r6), q93/q95/q111–q113/
-#   q116–q118/q124/q125 (pipeline family siblings q149–q158 r6-green).
+# Round 8 selection (last-driver-round census over CORRECTNESS_r01–r07:
+# r03×12, r05×48, r06×49, r07×50):
+#   1. the 12 queries whose last driver row is r03 — now the oldest
+#      external anchors (q44/q45 joins, q93/q95/q111–q113/q116–q118/
+#      q124/q125 pipeline family);
+#   2. 38 of the 48 r05-era queries, prioritizing families whose shared
+#      code moved in r6/r7: the shingle/CSE-campaign consumers q142/q143/
+#      q144 and the minhash scan-filter change q74 (r7 commits fe982b4,
+#      cb95381), the near-dup/ANN family q75/q78/q79/q94/q119/q121/q146
+#      (similarity guards r6, prefix-plan adjacency r7), text/multimodal
+#      q77/q90 (unicode fixes r6), then the profiling/pipeline/streaming
+#      backfill q126–q148/q152/q159–q161 and scalar/array q96–q98/q103.
+#   Deferred to r9 (10 r05-era relational/scalar rows, untouched since
+#   r5 with r6/r7-green same-family siblings): q29/q35–q39 (TPC-H-ish
+#   aggregates ~ q01–q16 r6-green), q66/q69 (scalar fns ~ q50–q55
+#   r6/r7-green), q87/q88 (aggregate fns ~ q107 r7-green).
 # The FULL registry is still verified every round locally via
 # ``tools/verify_local.py`` (driver-strength string compare since r6),
 # so rotation never substitutes for whole-surface checking.
 VERIFY_FIRST: list[str] = [
-    # --- 1. last driver row r02 (stalest external evidence) ---
-    "q17_small_quantity",
-    "q18_big_orders",
-    "q19_disjunctive",
-    "q21_window_running",
-    "q22_lag_lead",
-    "q24_first_last",
-    "q41_except_union",
-    "q42_union_by_name",
-    "q53_string_functions",
-    "q55_null_functions",
-    "q57_self_join",
-    "q58_sort_merge_hint",
-    # --- 2. r03-era: spell surface (expression tier landed r6) ---
-    "q80_spell_cast",
-    "q81_spell_loop",
-    "q82_spell_cast_vectorized",
-    "q83_grouped_agg_udf",
-    "q84_spell_fanout_udtf",
-    "q85_grouped_map_normalize",
-    # --- 2. r03-era: text/JSON paths hardened in r6 ---
-    "q61_json_props",
-    "q71_text_stats",
-    "q72_lang_quality",
-    "q76_quality_profile",
-    "q105_repetition_filter",
-    "q122_lm_score",
-    "q123_pii_scrub",
-    # --- 2. r03-era: dedup/similarity (NULL/zero-norm guards r6) ---
-    "q70_exact_dedup",
-    "q73_cosine_topk",
-    "q91_ngram_jaccard",
-    "q92_corpus_clean",
-    "q99_dedup_clusters",
-    "q120_incremental_dedup",
-    # --- 2. r03-era: events/streaming/windows ---
-    "q60_topic_routing",
-    "q62_sessionize",
-    "q63_asof_join",
-    "q64_tumbling_window",
-    "q65_event_pivot",
-    "q86_event_sequence",
-    "q89_dispersion",
-    # --- 2. r03-era: pipeline/profiling backfill ---
-    "q100_hypertable_rollup",
-    "q101_vocab_bigrams",
-    "q102_salted_join_agg",
-    "q104_decontamination",
-    "q106_tfidf_terms",
-    "q107_regression_aggs",
-    "q108_sequence_packing",
-    "q109_cooccurrence",
-    "q110_context_chunks",
-    "q114_textrank_keywords",
-    "q115_fuzzy_vocab",
-    # --- 3. oracle-helper change this round (ADVICE item 2) ---
-    "q67_props_as_map",
+    # --- 1. last driver row r03 (stalest external evidence) ---
+    "q44_full_outer",
+    "q45_right_join",
+    "q93_stratified_sample",
+    "q95_funnel",
+    "q111_cdc_upsert",
+    "q112_cohort_retention",
+    "q113_lateral_topk",
+    "q116_winsorize",
+    "q117_group_sample",
+    "q118_histogram",
+    "q124_train_shards",
+    "q125_quality_classifier",
+    # --- 2. r05-era: shingle/CSE-campaign consumers (r7 commits) ---
+    "q74_minhash_lsh_pairs",
+    "q142_cross_source_overlap",
+    "q143_compression_ratio",
+    "q144_segment_dedup",
+    # --- 2. r05-era: near-dup / ANN family (guards r6, prefix r7) ---
+    "q75_simhash_pairs",
+    "q78_ann_lsh_topk",
+    "q79_embedding_neardup",
+    "q94_ann_ivf",
+    "q119_pq_ann",
+    "q121_cross_corpus_neardup",
+    "q146_embedding_clusters",
+    # --- 2. r05-era: text/multimodal (unicode fixes r6) ---
+    "q77_text_profile",
+    "q90_multimodal_features",
+    # --- 2. r05-era: training-pipeline backfill ---
+    "q126_weighted_sample",
+    "q127_domain_mix",
+    "q128_zorder_key",
+    "q129_bpe_vocab",
+    "q130_binned_range_join",
+    "q140_session_sequences",
+    "q159_leakage_free_split",
+    "q160_corpus_datasheet",
+    "q161_entity_resolution",
+    # --- 2. r05-era: validation/profiling backfill ---
+    "q132_column_stats",
+    "q134_key_skew",
+    "q135_ewma",
+    "q136_referential_integrity",
+    "q137_time_gaps",
+    "q138_wow_growth",
+    "q139_active_users",
+    "q145_mad_outliers",
+    "q147_heavy_hitters",
+    "q148_trailing_range_frame",
+    # --- 2. r05-era: streaming / scalar-array / misc backfill ---
+    "q152_cep_pattern",
+    "q96_array_higher_order",
+    "q97_map_functions",
+    "q98_hll_mergeable",
+    "q103_map_zip_with",
+    "q133_lateral_udtf",
 ]
 
 

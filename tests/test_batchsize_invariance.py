@@ -54,6 +54,25 @@ def test_batch_size_invariant(spark, sf_dir, name):
         tiny = _canon(q.fn(spark, sf_dir).toPandas())
     finally:
         spark.conf.set(BATCH_KEY, saved)
-    assert base.equals(tiny), (
-        f"{name} is batch-size-dependent: {len(base)} vs {len(tiny)} rows"
-    )
+    if not base.equals(tiny):
+        # Likelier failure mode is same row count with diverging values;
+        # surface the first differing rows, not just the counts (ADVICE r7).
+        base_rows = {tuple(map(repr, t)) for t in base.itertuples(index=False)}
+        tiny_rows = {tuple(map(repr, t)) for t in tiny.itertuples(index=False)}
+        only_base = sorted(base_rows - tiny_rows)[:5]
+        only_tiny = sorted(tiny_rows - base_rows)[:5]
+        if only_base or only_tiny:
+            detail = (
+                f"first rows only at default batch: {only_base}; "
+                f"first rows only at batch=7: {only_tiny}"
+            )
+        else:
+            # Same row multiset — the divergence is ordering/dtype-level.
+            detail = (
+                f"row sets equal; dtypes default={list(base.dtypes)} "
+                f"vs batch7={list(tiny.dtypes)}"
+            )
+        raise AssertionError(
+            f"{name} is batch-size-dependent: {len(base)} vs {len(tiny)} "
+            f"rows; {detail}"
+        )

@@ -1686,15 +1686,18 @@ def test_prefix_filtered_jaccard_equals_naive(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     for threshold in (0.4, 0.5):
         for hashed in (False, True):
+            # Raw floats, no rounding: both plans derive jaccard from the
+            # same integer n_inter/n_a/n_b, so equality must be bit-exact
+            # (this test is cited as the bit-identical pin — ADVICE r7).
             naive = {
-                (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                (r["id_a"], r["id_b"], r["jaccard"])
                 for r in D.ngram_jaccard_pairs(
                     docs, "text", "doc_id", threshold=threshold,
                     hashed=hashed, prefix_filter=False,
                 ).collect()
             }
             pref = {
-                (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                (r["id_a"], r["id_b"], r["jaccard"])
                 for r in D.ngram_jaccard_pairs(
                     docs, "text", "doc_id", threshold=threshold,
                     hashed=hashed, prefix_filter=True,

@@ -12,7 +12,11 @@ to both drift and isolated spikes.
 
 Usage:
     python tools/octave_ab.py [A_dir B_dir [rounds]]
-Defaults: /root/repo/.scalefix/sf0.2 /root/repo/.scalefix/sf0.4, 5 rounds.
+Defaults: <repo_root>/.scalefix/sf0.2 and .../sf0.4 (derived from this
+file's location, not hardcoded absolute — ADVICE r7), 5 rounds; both
+directories must exist (generate with tools/scalefix_gen.py).  Thread
+count comes from SPARK_GRAFT_CPUS (default 32) and is echoed in the
+output so a run on a different host is attributable.
 Prints one JSON line: {query: {"a_med": s, "b_med": s, "ratio_med": r}}.
 """
 
@@ -40,12 +44,31 @@ QUERIES = [
 ]
 
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def main() -> None:
-    a_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scalefix/sf0.2"
-    b_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scalefix/sf0.4"
+    a_dir = (
+        sys.argv[1] if len(sys.argv) > 1
+        else os.path.join(REPO_ROOT, ".scalefix", "sf0.2")
+    )
+    b_dir = (
+        sys.argv[2] if len(sys.argv) > 2
+        else os.path.join(REPO_ROOT, ".scalefix", "sf0.4")
+    )
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    for d in (a_dir, b_dir):
+        if not os.path.isdir(d):
+            sys.exit(
+                f"fixture dir missing: {d} — generate with "
+                "tools/gen_scale_fixtures.py (pass A_dir B_dir explicitly "
+                "for non-default scale factors)"
+            )
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    cpus = os.environ["SPARK_GRAFT_CPUS"]
+    print(json.dumps({"a_dir": a_dir, "b_dir": b_dir, "cpus": cpus,
+                      "rounds": rounds}), file=sys.stderr)
     import sanctum_spark.queries as qreg
     from sanctum_spark.session import get_spark
 
