@@ -14,7 +14,7 @@ Usage:
     python tools/octave_ab.py [A_dir B_dir [rounds]]
 Defaults: <repo_root>/.scalefix/sf0.2 and .../sf0.4 (derived from this
 file's location, not hardcoded absolute — ADVICE r7), 5 rounds; both
-directories must exist (generate with tools/scalefix_gen.py).  Thread
+directories must exist (generate with tools/gen_scale_fixtures.py).  Thread
 count comes from SPARK_GRAFT_CPUS (default 32) and is echoed in the
 output so a run on a different host is attributable.
 Prints one JSON line: {query: {"a_med": s, "b_med": s, "ratio_med": r}}.
