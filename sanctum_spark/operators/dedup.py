@@ -439,6 +439,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     hashed: bool = False,
     prefix_filter: bool = True,
+    positional_filter: bool = True,
+    _candidates_only: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs (threshold ``t``) — EXACT result, with
     prefix-filtered candidate generation (AllPairs/PPJoin, Bayardo et al.
@@ -473,7 +475,12 @@ def ngram_jaccard_pairs(
       must intersect within their ``(size - α + 1)``-prefixes (prefix
       lemma: the smallest common element in the canonical order cannot
       sit in both suffixes of length α-1) — so candidates = prefix-shingle
-      equi-join, plus the size filter ``min >= t·max`` implied by J >= t;
+      equi-join, plus the size filter ``min >= t·max`` implied by J >= t,
+      plus the POSITIONAL filter (PPJoin): a collision at canonical
+      positions (p_a, p_b) can witness at most ``1 + min(n_a-p_a,
+      n_b-p_b)`` overlap, which must reach ``ceil(t/(1+t)·(n_a+n_b))``
+      — prunes late-in-both-suffixes collisions before the candidate
+      distinct at zero extra shuffle;
     - verification: exact Jaccard from ``array_intersect`` on the FULL
       shingle sets, candidates only.  Same numerator/denominator values
       as the naive join-count, so results are bit-identical.
@@ -482,6 +489,11 @@ def ngram_jaccard_pairs(
     ``t·n`` a hair ABOVE the exact rational (0.4×10 → 4.0000000000000002),
     and an over-ceil would shorten the prefix / tighten the size filter —
     the unsafe direction.  The slack only ever ADDS candidates.
+
+    ``positional_filter=False`` drops only the positional conjunct (size
+    and prefix filters stay) — a measurement/validation knob so the
+    filter's candidate-volume contribution is attributable and its
+    equivalence independently pinned; production callers leave it True.
 
     ``hashed=True`` operates on 64-bit xxhash64 shingle hashes instead of
     shingle strings: the shuffles ship 8-byte longs and the canonical
@@ -536,23 +548,56 @@ def ngram_jaccard_pairs(
         ex.join(dfreq, "s")
         .groupBy("id", "n")
         .agg(F.array_sort(F.collect_list(F.struct("dfreq", "s"))).alias("os"))
-        .select("id", "n", F.explode(F.slice(F.col("os"), F.lit(1), plen)).alias("ps"))
-        .select("id", "n", F.col("ps.s").alias("s"))
+        # posexplode: pos is 0-based within the slice, and the slice starts
+        # at element 1, so pos+1 is the shingle's 1-based CANONICAL position
+        # within the doc's full ordered set — carried for the positional
+        # filter below.
+        .select(
+            "id", "n",
+            F.posexplode(F.slice(F.col("os"), F.lit(1), plen)).alias("p0", "ps"),
+        )
+        .select(
+            "id", "n", (F.col("p0") + F.lit(1)).alias("p"),
+            F.col("ps.s").alias("s"),
+        )
     )
     pa = pref.alias("a")
     pb = pref.alias("b")
-    cand = (
-        pa.join(
-            pb,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.id") < F.col("b.id"))
-            # size filter: J >= t  ⇒  min(|A|,|B|) >= t·max(|A|,|B|)
-            & (F.col("b.n") >= F.lit(t) * F.col("a.n") - F.lit(1e-9))
-            & (F.col("a.n") >= F.lit(t) * F.col("b.n") - F.lit(1e-9)),
+    # positional filter (PPJoin, Xiao et al. WWW'08): J >= t  ⇔  overlap
+    # O >= ceil(t/(1+t)·(n_a+n_b)).  For a qualifying pair, its FIRST
+    # common shingle in canonical order lies in both prefixes (prefix
+    # lemma) and every common shingle sits at-or-after it, so
+    # O <= 1 + min(n_a - p_a, n_b - p_b) holds AT that match — keeping
+    # pairs where ANY prefix collision passes the bound retains every
+    # qualifying pair, while pruning pairs whose only collisions are too
+    # deep in both suffixes BEFORE the candidate distinct.  Same 1e-9
+    # under-ceil guard as alpha: slack only ever ADDS candidates.
+    o_min = F.ceil(
+        F.lit(t) / F.lit(1.0 + t) * (F.col("a.n") + F.col("b.n")) - F.lit(1e-9)
+    )
+    cond = (
+        (F.col("a.s") == F.col("b.s"))
+        & (F.col("a.id") < F.col("b.id"))
+        # size filter: J >= t  ⇒  min(|A|,|B|) >= t·max(|A|,|B|)
+        & (F.col("b.n") >= F.lit(t) * F.col("a.n") - F.lit(1e-9))
+        & (F.col("a.n") >= F.lit(t) * F.col("b.n") - F.lit(1e-9))
+    )
+    if positional_filter:
+        cond = cond & (
+            F.lit(1)
+            + F.least(F.col("a.n") - F.col("a.p"), F.col("b.n") - F.col("b.p"))
+            >= o_min
         )
+    cand = (
+        pa.join(pb, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    if _candidates_only:
+        # measurement hook (tools/ppjoin_positional_ab.py): the candidate
+        # set BEFORE exact verification — its size is the drift-free
+        # pruning-power metric on a noisy-timing host.
+        return cand
     av = sh.select(
         F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"), F.col("n").alias("n_a")
     )
