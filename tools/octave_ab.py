@@ -11,7 +11,9 @@ reported ratio is median(B_i / A_i) over paired rounds, which is robust
 to both drift and isolated spikes.
 
 Usage:
-    python tools/octave_ab.py [A_dir B_dir [rounds]]
+    python tools/octave_ab.py [A_dir B_dir [rounds [q1,q2,...]]]
+The optional 4th argument restricts the run to a comma-separated subset
+of registry query names (default: the standing QUERIES list below).
 Defaults: <repo_root>/.scalefix/sf0.2 and .../sf0.4 (derived from this
 file's location, not hardcoded absolute — ADVICE r7), 5 rounds; both
 directories must exist (generate with tools/gen_scale_fixtures.py).  Thread
@@ -57,6 +59,7 @@ def main() -> None:
         else os.path.join(REPO_ROOT, ".scalefix", "sf0.4")
     )
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    queries = sys.argv[4].split(",") if len(sys.argv) > 4 else QUERIES
     for d in (a_dir, b_dir):
         if not os.path.isdir(d):
             sys.exit(
@@ -84,7 +87,7 @@ def main() -> None:
         return dt
 
     out = {}
-    for name in QUERIES:
+    for name in queries:
         run(name, a_dir)  # warm codegen/page cache for both sides
         run(name, b_dir)
         pairs = []
