@@ -440,6 +440,7 @@ def ngram_jaccard_pairs(
     hashed: bool = False,
     prefix_filter: bool = True,
     positional_filter: bool = True,
+    index_prefix_filter: bool = True,
     _candidates_only: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs (threshold ``t``) — EXACT result, with
@@ -490,10 +491,11 @@ def ngram_jaccard_pairs(
     and an over-ceil would shorten the prefix / tighten the size filter —
     the unsafe direction.  The slack only ever ADDS candidates.
 
-    ``positional_filter=False`` drops only the positional conjunct (size
-    and prefix filters stay) — a measurement/validation knob so the
-    filter's candidate-volume contribution is attributable and its
-    equivalence independently pinned; production callers leave it True.
+    ``positional_filter=False`` / ``index_prefix_filter=False`` drop
+    only that conjunct (size and prefix filters stay) — measurement/
+    validation knobs so each filter's candidate-volume contribution is
+    attributable and its equivalence independently pinned; production
+    callers leave both True.
 
     ``hashed=True`` operates on 64-bit xxhash64 shingle hashes instead of
     shingle strings: the shuffles ship 8-byte longs and the canonical
@@ -561,8 +563,38 @@ def ngram_jaccard_pairs(
             F.col("ps.s").alias("s"),
         )
     )
-    pa = pref.alias("a")
+    if index_prefix_filter:
+        # index-prefix filter (PPJoin): the side playing the SMALLER-set
+        # role (a, by the orientation below) only needs its first
+        # n - ceil(2t/(1+t)·n) + 1 shingles: a qualifying pair with
+        # |A| <= |B| has overlap alpha >= ceil(t/(1+t)·(n_a+n_b)) >=
+        # ceil(2t/(1+t)·n_a), so its first common shingle lies within
+        # that shorter prefix of A (and within B's full probe prefix,
+        # since alpha >= ceil(t·n_b) follows from the size filter).
+        # Applied as a PRE-JOIN filter, not a join conjunct: the pruned
+        # rows never enter the self-join's sort/hash input (~29% of the
+        # indexed side at t=0.4), while the candidate SET is unchanged —
+        # the positional conjunct below mathematically subsumes this
+        # bound (min(n_a-p_a, ...) path), verified exact-equal candidate
+        # counts at sf0.1 (tools/ppjoin_positional_ab.py).  Same 1e-9
+        # under-ceil guard: slack only ever KEEPS extra rows.
+        ilen = (
+            F.col("n")
+            - F.ceil(F.lit(2.0 * t) / F.lit(1.0 + t) * F.col("n") - F.lit(1e-9))
+            + F.lit(1)
+        )
+        pa = pref.filter(F.col("p") <= ilen).alias("a")
+    else:
+        pa = pref.alias("a")
     pb = pref.alias("b")
+    # Join orientation: a = the (n, id)-lexicographically SMALLER side.
+    # Every unordered pair appears in exactly one orientation (as with
+    # the plain id ordering), but size-ordering the roles is what makes
+    # the asymmetric index-prefix filter below applicable; output ids
+    # are normalized back to id_a < id_b with least/greatest.
+    smaller = (F.col("a.n") < F.col("b.n")) | (
+        (F.col("a.n") == F.col("b.n")) & (F.col("a.id") < F.col("b.id"))
+    )
     # positional filter (PPJoin, Xiao et al. WWW'08): J >= t  ⇔  overlap
     # O >= ceil(t/(1+t)·(n_a+n_b)).  For a qualifying pair, its FIRST
     # common shingle in canonical order lies in both prefixes (prefix
@@ -577,7 +609,7 @@ def ngram_jaccard_pairs(
     )
     cond = (
         (F.col("a.s") == F.col("b.s"))
-        & (F.col("a.id") < F.col("b.id"))
+        & smaller
         # size filter: J >= t  ⇒  min(|A|,|B|) >= t·max(|A|,|B|)
         & (F.col("b.n") >= F.lit(t) * F.col("a.n") - F.lit(1e-9))
         & (F.col("a.n") >= F.lit(t) * F.col("b.n") - F.lit(1e-9))
@@ -590,7 +622,10 @@ def ngram_jaccard_pairs(
         )
     cand = (
         pa.join(pb, cond)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
         .distinct()
     )
     if _candidates_only:

@@ -1703,8 +1703,8 @@ def test_prefix_filtered_jaccard_equals_naive(spark):
                     hashed=hashed, prefix_filter=True,
                 ).collect()
             }
-            # positional filter off: size+prefix filters only — pins the
-            # positional conjunct's equivalence independently (r8).
+            # each optional conjunct off in turn: pins the positional and
+            # index-prefix filters' equivalence independently (r8).
             nopos = {
                 (r["id_a"], r["id_b"], r["jaccard"])
                 for r in D.ngram_jaccard_pairs(
@@ -1713,6 +1713,15 @@ def test_prefix_filtered_jaccard_equals_naive(spark):
                     positional_filter=False,
                 ).collect()
             }
+            noidx = {
+                (r["id_a"], r["id_b"], r["jaccard"])
+                for r in D.ngram_jaccard_pairs(
+                    docs, "text", "doc_id", threshold=threshold,
+                    hashed=hashed, prefix_filter=True,
+                    index_prefix_filter=False,
+                ).collect()
+            }
             assert pref == naive, (threshold, hashed, pref ^ naive)
             assert nopos == naive, (threshold, hashed, nopos ^ naive)
+            assert noidx == naive, (threshold, hashed, noidx ^ naive)
             assert naive  # the fixture must actually produce pairs

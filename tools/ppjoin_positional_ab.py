@@ -1,11 +1,13 @@
-"""Positional-filter attribution for the prefix-filtered Jaccard plan.
+"""Positional + index-prefix filter attribution for the prefix-filtered
+Jaccard plan.
 
 Two metrics per corpus, q99/q158's exact shape (k=3, t=0.4, hashed):
 
-1. candidate-pair count with the positional filter ON vs OFF — a
-   DETERMINISTIC metric, immune to the host's co-tenant timing spikes;
-   final pair count is printed alongside as the invariant (must be
-   identical on both sides).
+1. candidate-pair counts — a DETERMINISTIC metric, immune to the
+   host's co-tenant timing spikes: ON (positional+index) vs OFF
+   (neither), plus each conjunct alone so their contributions are
+   attributable; final pair count is printed alongside as the
+   invariant (must be identical on both sides).
 2. interleaved paired wall time of the full pairs computation
    (ON OFF ON OFF ... inside one warm session, median of per-round
    ratios) — the drift-robust timing protocol from tools/octave_ab.py.
@@ -49,23 +51,28 @@ def main() -> None:
     for corpus in corpora:
         docs = load_table(spark, corpus, "documents")
 
-        def pairs(positional: bool, candidates: bool = False):
+        def pairs(positional: bool, index: bool = True,
+                  candidates: bool = False):
             return ngram_jaccard_pairs(
                 docs, "text", "doc_id", shingle_k=3, threshold=0.4,
                 hashed=True, positional_filter=positional,
-                _candidates_only=candidates,
+                index_prefix_filter=index, _candidates_only=candidates,
             )
 
-        # deterministic pruning-power metric
-        cand_on = pairs(True, candidates=True).count()
-        cand_off = pairs(False, candidates=True).count()
-        n_on = pairs(True).count()
-        n_off = pairs(False).count()
+        # deterministic pruning-power metric, each conjunct attributed:
+        # on = positional+index, off = neither; single-conjunct counts
+        # separate the two filters' contributions.
+        cand_on = pairs(True, True, candidates=True).count()
+        cand_off = pairs(False, False, candidates=True).count()
+        cand_pos_only = pairs(True, False, candidates=True).count()
+        cand_idx_only = pairs(False, True, candidates=True).count()
+        n_on = pairs(True, True).count()
+        n_off = pairs(False, False).count()
         assert n_on == n_off, (corpus, n_on, n_off)
 
         def run(positional: bool) -> float:
             t0 = time.perf_counter()
-            pairs(positional).count()
+            pairs(positional, positional).count()  # on=(T,T), off=(F,F)
             dt = time.perf_counter() - t0
             spark.catalog.clearCache()
             return dt
@@ -82,6 +89,8 @@ def main() -> None:
         out[corpus] = {
             "cand_on": cand_on,
             "cand_off": cand_off,
+            "cand_pos_only": cand_pos_only,
+            "cand_idx_only": cand_idx_only,
             "cand_reduction": round(1 - cand_on / cand_off, 4) if cand_off else 0.0,
             "pairs": n_on,
             "wall_on_med": round(statistics.median(ons), 3),
