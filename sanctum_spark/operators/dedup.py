@@ -438,9 +438,10 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     hashed: bool = False,
-    prefix_filter: bool = True,
+    prefix_filter: bool | str = True,
     positional_filter: bool = True,
     index_prefix_filter: bool = True,
+    auto_prefix_min_docs: int = 8192,
     _candidates_only: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs (threshold ``t``) — EXACT result, with
@@ -463,6 +464,10 @@ def ngram_jaccard_pairs(
     2.03x.  Default True is the plan that survives corpus growth;
     fixed-density callers below the crossover (q91's quarter-slice
     validation) may pin ``prefix_filter=False`` for the ~2x constant.
+    ``prefix_filter="auto"`` makes the choice cost-based at runtime
+    from the input's document count against ``auto_prefix_min_docs``
+    (default 8192, inside the measured 5k-10k crossover band) — the
+    right setting for corpus-grain callers whose input size varies.
     At genuine scale the exact operator is a VALIDATOR either way —
     ``minhash_near_duplicates`` is the production near-dup path.
     Prefix filtering removes exactly the hot shingles from the candidate
@@ -512,6 +517,22 @@ def ngram_jaccard_pairs(
     path when even one corpus pass per stage is too much.
     """
     make = shingle_hashes if hashed else shingle_tokens
+    if prefix_filter == "auto":
+        # Cost-based plan choice, the exact-Jaccard analog of AQE's
+        # runtime join-strategy switch: the naive plan's fixed cost is
+        # lower (one exploded self-join) but its candidate volume grows
+        # quadratically in per-shingle frequency, while the prefix plan
+        # pays three extra corpus-linear stages to bound candidates by
+        # rare-shingle frequencies.  The measured crossover (interleaved
+        # paired A/B over three octaves, EVIDENCE_r7/r8 + SCALE.md: the
+        # full positional+index stack is ~1.2x naive at 5k docs and
+        # 0.75-0.86x at 10k docs of this corpus density) sits between
+        # 5k and 10k documents; `auto_prefix_min_docs` defaults inside
+        # that band.  Both plans are bit-identical on output (pinned,
+        # tests/test_operators.py), so the switch can never change
+        # results — only the physical strategy.  The count() is one
+        # metadata-cheap job against the caller's input.
+        prefix_filter = df.count() >= auto_prefix_min_docs
     sh = df.select(
         F.col(id_col).alias("id"), make(text_col, shingle_k).alias("shingles")
     )

@@ -1130,11 +1130,13 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctum_spark.operators.text import quality_logit_score
 
     docs = load_table(spark, sf_dir, "documents")
-    # prefix_filter default (True): corpus-grain candidate stage — same
-    # asymptotic rationale as q99 (naive 3.77x vs prefix 2.03x per
-    # doubling at the third octave, r7 paired A/B)
+    # prefix_filter="auto": corpus-grain candidate stage — same
+    # cost-based rationale as q99 (naive 3.77x vs prefix 2.03x per
+    # doubling at the third octave, r7 paired A/B; naive's lower fixed
+    # cost wins below the measured 5k-10k-doc crossover)
     pairs = ngram_jaccard_pairs(
-        docs, "text", "doc_id", shingle_k=3, threshold=0.4, hashed=True
+        docs, "text", "doc_id", shingle_k=3, threshold=0.4, hashed=True,
+        prefix_filter="auto",
     )
     comp = connected_components(pairs, "id_a", "id_b").select(
         F.col("id").alias("doc_id"), F.col("component").alias("comp_id")

@@ -435,16 +435,18 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctum_spark.operators.dedup import connected_components, ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    # prefix_filter default (True): this is CORPUS-GRAIN clustering, so
-    # the candidate stage must survive corpus growth — measured octaves
+    # prefix_filter="auto": this is CORPUS-GRAIN clustering, so the
+    # candidate stage must survive corpus growth — measured octaves
     # (r7 paired A/B): naive 3.77x wall per doubling at sf0.2->0.4
     # (candidate volume 3.96x — quadratic in shingle frequency) vs
-    # prefix 2.03x, already 2.4x faster absolute at sf0.4.  The ~1.9x
-    # prefix overhead at sf0.1 is the attributed price of the plan that
-    # scales (EVIDENCE_r7.md); q91 — fixed quarter-slice validation —
-    # keeps the naive plan instead.
+    # prefix 2.03x, already 2.4x faster absolute at sf0.4.  Below the
+    # measured crossover (5k-10k docs) the naive plan's lower fixed
+    # cost wins, so the plan choice is cost-based at runtime; both
+    # plans are bit-identical on output (pinned).  q91 — fixed
+    # quarter-slice validation — pins the naive plan instead.
     pairs = ngram_jaccard_pairs(
-        docs, "text", "doc_id", shingle_k=3, threshold=0.4, hashed=True
+        docs, "text", "doc_id", shingle_k=3, threshold=0.4, hashed=True,
+        prefix_filter="auto",
     )
     comp = connected_components(pairs, "id_a", "id_b")
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))

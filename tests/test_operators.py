@@ -1725,3 +1725,30 @@ def test_prefix_filtered_jaccard_equals_naive(spark):
             assert nopos == naive, (threshold, hashed, nopos ^ naive)
             assert noidx == naive, (threshold, hashed, noidx ^ naive)
             assert naive  # the fixture must actually produce pairs
+
+
+def test_jaccard_auto_plan_switch(spark):
+    """prefix_filter='auto' is a cost-based PHYSICAL choice only: both
+    sides of the doc-count threshold pick a plan that returns the same
+    pair set, and the threshold actually routes (the prefix plan's
+    canonical-order posexplode appears in the plan above the threshold
+    and is absent below it)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog end marker one"),
+        (2, "the quick brown fox jumps over the lazy dog end marker two"),
+        (3, "completely different text body with the common tail words"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def pairs(**kw):
+        return D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.4, **kw)
+
+    below = pairs(prefix_filter="auto", auto_prefix_min_docs=10)
+    above = pairs(prefix_filter="auto", auto_prefix_min_docs=2)
+    # routing: posexplode (canonical prefix positions) only in the prefix plan
+    assert "posexplode" not in below._jdf.queryExecution().analyzed().toString()
+    assert "posexplode" in above._jdf.queryExecution().analyzed().toString()
+    key = lambda df: {(r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()}
+    naive = key(pairs(prefix_filter=False))
+    assert key(below) == naive and key(above) == naive
+    assert naive
