@@ -483,19 +483,25 @@ def pq_train(
         .limit(max(32 * ksub, 256))
         .collect()
     ]
+    # Farthest-point selection is vectorized: keep each point's squared
+    # distance to its nearest chosen seed and fold in one (S, dsub)
+    # numpy pass per new seed — O(ksub·S·dsub) instead of the
+    # O(ksub²·S·dsub) pure-Python scan, which was a multi-second
+    # DRIVER-side fixed cost (r8 bench: q119 spent ~5 s here at every
+    # scale factor).  np.argmax returns the FIRST maximizer, matching
+    # the scalar max()'s tie-breaking, and the selection itself is
+    # identical: the running minimum equals min-over-seeds exactly.
+    S_all = np.asarray(sample, dtype=np.float64)
     books = []
     for j in range(m):
-        pts = [v[j * dsub : (j + 1) * dsub] for v in sample]
-        seeds = [pts[0]]
-        while len(seeds) < ksub:
-            far = max(
-                pts,
-                key=lambda p: min(
-                    sum((a - b) ** 2 for a, b in zip(p, s)) for s in seeds
-                ),
-            )
-            seeds.append(far)
-        books.append([list(s) for s in seeds])
+        P = S_all[:, j * dsub : (j + 1) * dsub]
+        idx = [0]
+        d2 = ((P - P[0]) ** 2).sum(axis=1)
+        while len(idx) < ksub:
+            i = int(np.argmax(d2))
+            idx.append(i)
+            d2 = np.minimum(d2, ((P - P[i]) ** 2).sum(axis=1))
+        books.append([[float(x) for x in P[i]] for i in idx])
     for _ in range(n_iters):
         books_np = np.asarray(books, dtype=np.float64)
 
