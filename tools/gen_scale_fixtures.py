@@ -231,7 +231,22 @@ def main() -> None:
     gen_double(
         con, dst_name="sf0.4", prefix="d2", src_dir=f"{OUT}/sf0.2", seed=SEED + 1
     )
-    for sf in ("sf0.05", "sf0.2", "sf0.4"):
+    targets = ["sf0.05", "sf0.2", "sf0.4"]
+    # fourth octave (opt-in: --octave4): sf0.8 = double(sf0.4) — 8x the
+    # bench SF, 40k docs.  Opt-in because the unigram-model synthesis is
+    # a few driver-side minutes and most sessions only need three octaves.
+    if "--octave4" in sys.argv:
+        for t in DIMS + ["orders", "lineitem", "events", "documents", "embeddings"]:
+            con.execute(
+                f"CREATE VIEW d4_{t} AS SELECT * FROM "
+                f"read_parquet('{OUT}/sf0.4/{t}.parquet')"
+            )
+        gen_double(
+            con, dst_name="sf0.8", prefix="d4", src_dir=f"{OUT}/sf0.4",
+            seed=SEED + 2,
+        )
+        targets.append("sf0.8")
+    for sf in targets:
         sizes = {
             t: pq.read_metadata(f"{OUT}/{sf}/{t}.parquet").num_rows
             for t in ["lineitem", "orders", "events", "documents", "embeddings"]
