@@ -154,11 +154,17 @@ VERIFY_FIRST: list[str] = [
     "q148_trailing_range_frame",
     # --- 2. r05-era: streaming / scalar-array / misc backfill ---
     "q152_cep_pattern",
-    "q96_array_higher_order",
     "q97_map_functions",
     "q98_hll_mergeable",
-    "q103_map_zip_with",
     "q133_lateral_udtf",
+    # --- 3. plan changed in r8 AFTER their last driver row (the
+    # rotation's tie-break rule): the corpus-grain clustering callers
+    # adopted cost-based prefix_filter="auto" (naive at the gate's
+    # sf0.01), so their next driver row must cover the new routing.
+    # q96/q103 (array/map scalars, r05-era, q97-sibling green) deferred
+    # to r9 to make room.
+    "q99_dedup_clusters",
+    "q158_quality_keeper",
 ]
 
 
