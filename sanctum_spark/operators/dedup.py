@@ -851,10 +851,22 @@ def connected_components(
     )
     # Materialize the symmetric edge list ONCE: every round joins against
     # it, and without the checkpoint the (possibly expensive) upstream
-    # pair-generation lineage would re-execute per iteration.
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # pair-generation lineage would re-execute per iteration.  The mirror
+    # is built by EXPLODING each edge into its two directions in a single
+    # scan — NOT union(edges, edges.flipped): Spark performs no DAG-level
+    # CSE across union branches, so a union would execute the upstream
+    # pair-generation plan twice per materialization (ReuseExchange only
+    # dedups identical exchanges; the post-shuffle verify stages still ran
+    # twice — measured 47.7 s vs 25.3 s for one pairs evaluation on the
+    # sf0.8 fixture, r8 fourth-octave decomposition).
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     if checkpoint_table:
         from sanctum_spark.operators.ckpt import (
             PingPongCheckpoint,

@@ -68,11 +68,28 @@ def pagerank(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
     )
     if symmetric:
-        e = e.unionByName(
-            e.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-            )
-        )
+        # Mirror by exploding each edge into both directions in ONE scan
+        # of the upstream plan — union(e, e.flipped) would execute the
+        # (possibly expensive) edge-building lineage twice, since Spark
+        # has no DAG-level CSE across union branches (measured 2x on the
+        # connected-components mirror, dedup.py — same shape here: q114's
+        # co-occurrence explode is the upstream plan).
+        e = e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("src"),
+                        F.col("dst").alias("dst"),
+                        F.col("w").alias("w"),
+                    ),
+                    F.struct(
+                        F.col("dst").alias("src"),
+                        F.col("src").alias("dst"),
+                        F.col("w").alias("w"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst", "e.w")
     # Merge parallel edges once so contributions are never double-counted.
     e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
     strength = e.groupBy("src").agg(F.sum("w").alias("strength"))
