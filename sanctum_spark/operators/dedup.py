@@ -171,7 +171,15 @@ def hashed_word_windows(
     def body(t: Column) -> Column:
         n = F.size(t) - F.lit(k - 1)
         if cap is not None:
-            n = F.least(n, F.lit(cap))
+            # least() SKIPS nulls (returns the least NON-NULL argument),
+            # so least(n, lit(cap)) on NULL text resurrected n = cap and
+            # the whole null-propagation guard below collapsed: NULL text
+            # emitted `cap` copies of xxhash64(NULL) = 42 — a phantom
+            # shingle shared by every source with one NULL doc (found by
+            # the fuzz sweep as a q142 containment-matrix divergence).
+            # Anchoring the cap to size(t)*0 + cap keeps it
+            # null-PROPAGATING: NULL size -> NULL cap -> NULL n.
+            n = F.least(n, F.size(t) * 0 + F.lit(cap))
         floor1 = F.size(t) * 0 + 1
         full = F.transform(
             F.sequence(F.lit(1), F.greatest(n, floor1)),
