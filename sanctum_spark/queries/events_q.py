@@ -15,22 +15,33 @@ from pyspark.sql.window import Window as W
 
 from sanctum_spark.io import load_table
 from sanctum_spark.queries import register
-from sanctum_spark.queries.util import sql_int_grain, sql_json_int, stable_round
+from sanctum_spark.queries.util import (
+    money_round,
+    sql_int_grain,
+    sql_json_int,
+    sql_money_round,
+    stable_round,
+)
 
 
 @register(
     "q60_topic_routing",
-    """
+    f"""
     SELECT user_id,
-           COUNT(*)              AS n_events,
-           ROUND(SUM(value), 2)  AS total_value
+           COUNT(*)                              AS n_events,
+           {sql_money_round('SUM(value)')}       AS total_value
     FROM events
     WHERE event_type IS NULL OR event_type = 'click'
     GROUP BY user_id
     """,
     doc=(
         "Topic filter with the reference's null semantics: a NULL topic "
-        "matches every spell (src/main.zig:192-196) — hence the IS NULL arm."
+        "matches every spell (src/main.zig:192-196) — hence the IS NULL "
+        "arm. total_value uses money_round (5e-7 eps, both sides): the "
+        "prior bare ROUND(SUM(value), 2) diverged cross-engine when the "
+        "float sum landed exactly on a .xx5 half boundary (r8 fuzz "
+        "sweep, seed 7: 545.835 — Spark's BigDecimal shortest-repr "
+        "rounding vs DuckDB's binary expansion)."
     ),
 )
 def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,7 +49,7 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed = ev.filter(F.col("event_type").isNull() | (F.col("event_type") == "click"))
     return routed.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        money_round(F.sum("value")).alias("total_value"),
     )
 
 

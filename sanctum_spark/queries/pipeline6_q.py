@@ -342,13 +342,16 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ts AS DATE) AS day,
                CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
                     AS BIGINT) AS day_no,
-               ROUND(SUM(value) + 1e-9, 2) AS v
+               -- + 0.0 normalizes IEEE signed zero: a day summing to
+               -- ~-0.005 rounds to -0.0 in DuckDB but +0.0 in Spark
+               -- (BigDecimal has no negative zero) — r8 fuzz seed 5
+               (ROUND(SUM(value) + 1e-9, 2) + 0.0) AS v
         FROM events GROUP BY 1, 2, 3
     )
     SELECT user_id, CAST(day AS TIMESTAMP) AS day, v,
            CAST(COUNT(*) OVER w AS BIGINT) AS t7_days,
-           ROUND(SUM(v) OVER w + 1e-9, 2) AS t7_sum,
-           ROUND(AVG(v) OVER w + 1e-9, 4) AS t7_avg
+           (ROUND(SUM(v) OVER w + 1e-9, 2) + 0.0) AS t7_sum,
+           (ROUND(AVG(v) OVER w + 1e-9, 4) + 0.0) AS t7_avg
     FROM daily
     WINDOW w AS (PARTITION BY user_id ORDER BY day_no
                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)

@@ -24,7 +24,7 @@ from pyspark.sql.window import Window as W
 
 from sanctum_spark.io import load_table
 from sanctum_spark.queries import register
-from sanctum_spark.queries.util import money_round, stable_round
+from sanctum_spark.queries.util import money_round, sql_money_round, stable_round
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -448,7 +448,7 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q50_scalar_functions",
-    """
+    f"""
     SELECT p_partkey,
            UPPER(p_brand)                                   AS brand_upper,
            LENGTH(p_name)                                   AS name_len,
@@ -456,7 +456,11 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- Spark's concat propagates NULL and concat_ws drops the
            -- separator — explicit '' pins ':' on both engines
            CONCAT(COALESCE(p_brand, ''), ':', COALESCE(p_type, '')) AS brand_type,
-           ROUND(p_retailprice * 1.1, 2)                    AS taxed_price,
+           -- money_round (5e-7 eps, both sides): a 2-decimal price x 1.1
+           -- lands exactly on .xx5 boundaries, where bare ROUND diverges
+           -- cross-engine (Spark rounds the shortest decimal repr via
+           -- BigDecimal, DuckDB the binary expansion — r8 fuzz seed 7)
+           {sql_money_round('p_retailprice * 1.1')}         AS taxed_price,
            CAST(FLOOR(p_size / 10.0) AS BIGINT)             AS size_bucket,
            CASE WHEN p_size >= 25 THEN 'large'
                 WHEN p_size >= 10 THEN 'medium'
@@ -475,7 +479,7 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(":"),
             F.coalesce("p_type", F.lit("")),
         ).alias("brand_type"),
-        F.round(F.col("p_retailprice") * 1.1, 2).alias("taxed_price"),
+        money_round(F.col("p_retailprice") * 1.1).alias("taxed_price"),
         F.floor(F.col("p_size") / 10.0).cast("long").alias("size_bucket"),
         F.when(F.col("p_size") >= 25, "large")
         .when(F.col("p_size") >= 10, "medium")

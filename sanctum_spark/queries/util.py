@@ -37,7 +37,11 @@ def money_round(col: Column, scale: int = 2) -> Column:
 
 
 def sql_money_round(expr: str, scale: int = 2) -> str:
-    return f"ROUND(({expr}) + 5e-7, {scale})"
+    # `+ 0.0` normalizes IEEE signed zero: DuckDB's ROUND keeps the
+    # input's sign on a -0.0 result where Spark's round (BigDecimal,
+    # which has no negative zero) returns +0.0 — the r8 fuzz sweep
+    # caught the two stringifying differently ('-0.0' vs '0.0').
+    return f"(ROUND(({expr}) + 5e-7, {scale}) + 0.0)"
 
 
 # ---------------------------------------------------------------------------
@@ -94,6 +98,8 @@ def sql_int_grain(expr: str, scale: int) -> str:
         f"CAST(FLOOR(({expr}) * {float(10 ** scale):.1f} + 0.5 + 1e-9)"
         " AS BIGINT)"
     )
+
+
 
 
 def sql_json_int(col_sql: str, path_sql: str) -> str:
