@@ -126,3 +126,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL surface."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTER metadata — zero Spark jobs.
+
+    The footer's row-group counts are exact (written by the writer, not
+    sampled), so this is the cheapest correct cardinality source for a
+    plain table scan: at 100 TB it reads a few KiB per file instead of
+    scanning the corpus.  Used by cost-based plan switches
+    (dedup.ngram_jaccard_pairs(prefix_filter="auto", doc_count=...)) to
+    avoid an eager df.count() job at plan-construction time.  Handles
+    both a single .parquet file and a directory of part files.
+    """
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return total
+    return pq.ParquetFile(path).metadata.num_rows

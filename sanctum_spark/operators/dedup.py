@@ -439,6 +439,25 @@ def cross_corpus_near_duplicates(
     )
 
 
+def _catalyst_row_count(df: DataFrame) -> int | None:
+    """Row count from the optimized plan's statistics, or None.
+
+    Metadata-only: ``stats()`` on the optimized logical plan never runs a
+    job (it may list files).  Catalyst only materializes ``rowCount`` when
+    the plan carries one (CBO table stats, LocalRelation, a literal
+    ``range``), so plain un-analyzed parquet scans usually return None —
+    callers with such inputs should supply ``doc_count`` from parquet
+    footers (io.parquet_row_count) instead.
+    """
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:  # py4j internals shifted — fall back to count()
+        return None
+    return None
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -450,6 +469,7 @@ def ngram_jaccard_pairs(
     positional_filter: bool = True,
     index_prefix_filter: bool = True,
     auto_prefix_min_docs: int = 8192,
+    doc_count: int | None = None,
     _candidates_only: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs (threshold ``t``) — EXACT result, with
@@ -476,6 +496,9 @@ def ngram_jaccard_pairs(
     from the input's document count against ``auto_prefix_min_docs``
     (default 8192, inside the measured 5k-10k crossover band) — the
     right setting for corpus-grain callers whose input size varies.
+    In auto mode, pass ``doc_count`` (e.g. from parquet footer metadata,
+    io.parquet_row_count) to avoid the eager ``df.count()`` fallback;
+    see the in-body comment for the full cardinality-source ladder.
     At genuine scale the exact operator is a VALIDATOR either way —
     ``minhash_near_duplicates`` is the production near-dup path.
     Prefix filtering removes exactly the hot shingles from the candidate
@@ -525,7 +548,12 @@ def ngram_jaccard_pairs(
     path when even one corpus pass per stage is too much.
     """
     make = shingle_hashes if hashed else shingle_tokens
-    if prefix_filter == "auto":
+    if isinstance(prefix_filter, str):
+        if prefix_filter != "auto":
+            raise ValueError(
+                "prefix_filter must be True, False, or the string 'auto'; "
+                f"got {prefix_filter!r}"
+            )
         # Cost-based plan choice, the exact-Jaccard analog of AQE's
         # runtime join-strategy switch: the naive plan's fixed cost is
         # lower (one exploded self-join) but its candidate volume grows
@@ -538,9 +566,27 @@ def ngram_jaccard_pairs(
         # 5k and 10k documents; `auto_prefix_min_docs` defaults inside
         # that band.  Both plans are bit-identical on output (pinned,
         # tests/test_operators.py), so the switch can never change
-        # results — only the physical strategy.  The count() is one
-        # metadata-cheap job against the caller's input.
-        prefix_filter = df.count() >= auto_prefix_min_docs
+        # results — only the physical strategy.
+        #
+        # Cardinality source, cheapest first: (1) caller-supplied
+        # ``doc_count`` (plain scans can read it from parquet footers
+        # via io.parquet_row_count — zero Spark jobs); (2) Catalyst's
+        # optimized-plan row-count statistic when the plan carries one;
+        # (3) ``df.count()`` — an EAGER full job over the caller's
+        # input lineage at plan-construction time.  That last resort is
+        # only metadata-cheap for plain parquet scans; a caller passing
+        # a derived/expensive DataFrame pays one extra full evaluation
+        # and should cache the input, pass ``doc_count``, or pin the
+        # plan with an explicit bool.  At 100 TB the fallback is a full
+        # corpus scan before the real work — and above the threshold
+        # the answer is always "prefix" — so production corpus-grain
+        # callers pass ``doc_count`` from catalog/footer metadata.
+        n_docs = doc_count
+        if n_docs is None:
+            n_docs = _catalyst_row_count(df)
+        if n_docs is None:
+            n_docs = df.count()
+        prefix_filter = n_docs >= auto_prefix_min_docs
     sh = df.select(
         F.col(id_col).alias("id"), make(text_col, shingle_k).alias("shingles")
     )

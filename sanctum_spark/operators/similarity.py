@@ -489,8 +489,13 @@ def pq_train(
     # O(ksub²·S·dsub) pure-Python scan, which was a multi-second
     # DRIVER-side fixed cost (r8 bench: q119 spent ~5 s here at every
     # scale factor).  np.argmax returns the FIRST maximizer, matching
-    # the scalar max()'s tie-breaking, and the selection itself is
-    # identical: the running minimum equals min-over-seeds exactly.
+    # the scalar max()'s tie-breaking, and the running minimum equals
+    # min-over-seeds exactly.  Determinism caveat: numpy's .sum(axis=1)
+    # uses pairwise summation while a Python sum() accumulates
+    # sequentially, so for dsub > 8 the squared distances can differ in
+    # the last ulp and flip argmax on a near-tie — the selection is
+    # deterministic and matches the scalar scan up to float-summation-
+    # order ties, not bit-for-bit against the old seed sequence.
     S_all = np.asarray(sample, dtype=np.float64)
     books = []
     for j in range(m):

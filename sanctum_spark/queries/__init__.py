@@ -82,89 +82,85 @@ def load_all_modules() -> None:
 # 159 (r6 verdict task #6), so the rotation cycles the whole surface every
 # ~3 rounds.
 #
-# Round 8 selection (last-driver-round census over CORRECTNESS_r01–r07:
-# r03×12, r05×48, r06×49, r07×50):
-#   1. the 12 queries whose last driver row is r03 — now the oldest
-#      external anchors (q44/q45 joins, q93/q95/q111–q113/q116–q118/
-#      q124/q125 pipeline family);
-#   2. 38 of the 48 r05-era queries, prioritizing families whose shared
-#      code moved in r6/r7: the shingle/CSE-campaign consumers q142/q143/
-#      q144 and the minhash scan-filter change q74 (r7 commits fe982b4,
-#      cb95381), the near-dup/ANN family q75/q78/q79/q94/q119/q121/q146
-#      (similarity guards r6, prefix-plan adjacency r7), text/multimodal
-#      q77/q90 (unicode fixes r6), then the profiling/pipeline/streaming
-#      backfill q126–q148/q152/q159–q161 and scalar/array q96–q98/q103.
-#   Deferred to r9 (10 r05-era relational/scalar rows, untouched since
-#   r5 with r6/r7-green same-family siblings): q29/q35–q39 (TPC-H-ish
-#   aggregates ~ q01–q16 r6-green), q66/q69 (scalar fns ~ q50–q55
-#   r6/r7-green), q87/q88 (aggregate fns ~ q107 r7-green).
+# Round 9 selection (last-driver-round census over CORRECTNESS_r01-r08:
+# r05x12, r06x48, r07x49, r08x50 - verified at round start):
+#   1. the 12 queries whose last driver row is r05 - now three rounds of
+#      code motion since their last external check, explicitly queued by
+#      the r8 verdict (task #1): q29/q35-q39 (TPC-H-ish aggregates),
+#      q66/q69 (scalar fns), q87/q88 (aggregate fns), q96/q103
+#      (array/map higher-order scalars, deferred from the r8 front-50);
+#   2. 38 of the 48 r06-era queries, oldest-first with the verdict's
+#      named priorities (q131, q141, q149-q151, q153-q157, q162-q164,
+#      the q01/q02/q30 aggregate family) plus the tie-break rule:
+#      q50_scalar_functions's oracle moved to money_round pins in r8
+#      (the ROUND(double) shortest-decimal divergence, batch 15), so its
+#      next driver row must cover the new pin.
+#   Deferred to r10 (10 r06-era relational rows, each with r7/r8-green
+#   same-family siblings): q06/q14 (TPC-H filters ~ q17-q19 r7-green),
+#   q10/q11/q12 (join variants ~ q44/q45 r8, q57/q63 r7), q23/q25
+#   (window/percentile ~ q21/q22/q24 r7, q148 r8), q33/q43 (array ops ~
+#   q133 r8, q97 r8), q52 (sort/limit ~ q113 r8).
+# After this round every query's most recent driver row is r7+ - the
+# staleness floor the r8 verdict asked for.
 # The FULL registry is still verified every round locally via
 # ``tools/verify_local.py`` (driver-strength string compare since r6),
 # so rotation never substitutes for whole-surface checking.
 VERIFY_FIRST: list[str] = [
-    # --- 1. last driver row r03 (stalest external evidence) ---
-    "q44_full_outer",
-    "q45_right_join",
-    "q93_stratified_sample",
-    "q95_funnel",
-    "q111_cdc_upsert",
-    "q112_cohort_retention",
-    "q113_lateral_topk",
-    "q116_winsorize",
-    "q117_group_sample",
-    "q118_histogram",
-    "q124_train_shards",
-    "q125_quality_classifier",
-    # --- 2. r05-era: shingle/CSE-campaign consumers (r7 commits) ---
-    "q74_minhash_lsh_pairs",
-    "q142_cross_source_overlap",
-    "q143_compression_ratio",
-    "q144_segment_dedup",
-    # --- 2. r05-era: near-dup / ANN family (guards r6, prefix r7) ---
-    "q75_simhash_pairs",
-    "q78_ann_lsh_topk",
-    "q79_embedding_neardup",
-    "q94_ann_ivf",
-    "q119_pq_ann",
-    "q121_cross_corpus_neardup",
-    "q146_embedding_clusters",
-    # --- 2. r05-era: text/multimodal (unicode fixes r6) ---
-    "q77_text_profile",
-    "q90_multimodal_features",
-    # --- 2. r05-era: training-pipeline backfill ---
-    "q126_weighted_sample",
-    "q127_domain_mix",
-    "q128_zorder_key",
-    "q129_bpe_vocab",
-    "q130_binned_range_join",
-    "q140_session_sequences",
-    "q159_leakage_free_split",
-    "q160_corpus_datasheet",
-    "q161_entity_resolution",
-    # --- 2. r05-era: validation/profiling backfill ---
-    "q132_column_stats",
-    "q134_key_skew",
-    "q135_ewma",
-    "q136_referential_integrity",
-    "q137_time_gaps",
-    "q138_wow_growth",
-    "q139_active_users",
-    "q145_mad_outliers",
-    "q147_heavy_hitters",
-    "q148_trailing_range_frame",
-    # --- 2. r05-era: streaming / scalar-array / misc backfill ---
-    "q152_cep_pattern",
-    "q97_map_functions",
-    "q98_hll_mergeable",
-    "q133_lateral_udtf",
-    # --- 3. plan changed in r8 AFTER their last driver row (the
-    # rotation's tie-break rule): the corpus-grain clustering callers
-    # adopted cost-based prefix_filter="auto" (naive at the gate's
-    # sf0.01), so their next driver row must cover the new routing.
-    # q96/q103 (array/map scalars, r05-era, q97-sibling green) deferred
-    # to r9 to make room.
-    "q99_dedup_clusters",
-    "q158_quality_keeper",
+    # --- 1. last driver row r05 (stalest external evidence) ---
+    "q29_min_cost_supplier",
+    "q35_returned_revenue",
+    "q36_important_parts",
+    "q37_ship_delay_buckets",
+    "q38_excess_volume_suppliers",
+    "q39_last_shipper",
+    "q66_exists_sql",
+    "q69_date_arithmetic",
+    "q87_approx_percentile",
+    "q88_user_correlation",
+    "q96_array_higher_order",
+    "q103_map_zip_with",
+    # --- 2. r06-era: TPC-H-ish relational backfill ---
+    "q01_pricing_summary",
+    "q02_distinct_counts",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q13_range_join",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q27_cust_order_distribution",
+    "q28_above_avg_no_orders",
+    # --- 2. r06-era: grouping/rollup/window family ---
+    "q20_topk_per_group",
+    "q26_approx_distinct",
+    "q30_rollup",
+    "q31_cube",
+    "q32_grouping_sets",
+    # --- 2. r06-era: set ops / scalar fns (q50: r8 money_round pin) ---
+    "q34_unpivot",
+    "q40_set_ops",
+    "q50_scalar_functions",
+    "q51_date_functions",
+    "q54_array_functions",
+    "q59_scalar_subquery",
+    "q68_regexp_extract",
+    # --- 2. r06-era: pipeline/profiling/privacy backfill ---
+    "q131_incremental_agg",
+    "q141_mix_entropy",
+    "q149_scd2_intervals",
+    "q150_psi_drift",
+    "q151_chi2_independence",
+    "q153_dtw_similarity",
+    "q154_benford_digits",
+    "q155_weighted_reservoir",
+    "q156_powerlaw_fit",
+    "q157_shard_manifest",
+    "q162_bm25_topk",
+    "q163_k_anonymity",
+    "q164_l_diversity",
 ]
 
 

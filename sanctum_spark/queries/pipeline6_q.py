@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from sanctum_spark.io import load_table
+from sanctum_spark.io import load_table, parquet_row_count
 from sanctum_spark.operators.dedup import hashed_word_windows
 from sanctum_spark.queries import register
 from sanctum_spark.queries.util import stable_round
@@ -1137,9 +1137,12 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost-based rationale as q99 (naive 3.77x vs prefix 2.03x per
     # doubling at the third octave, r7 paired A/B; naive's lower fixed
     # cost wins below the measured 5k-10k-doc crossover)
+    # doc_count from parquet footers — zero-job cardinality for the
+    # auto plan switch (same rationale as q99)
     pairs = ngram_jaccard_pairs(
         docs, "text", "doc_id", shingle_k=3, threshold=0.4, hashed=True,
         prefix_filter="auto",
+        doc_count=parquet_row_count(sf_dir, "documents"),
     )
     comp = connected_components(pairs, "id_a", "id_b").select(
         F.col("id").alias("doc_id"), F.col("component").alias("comp_id")

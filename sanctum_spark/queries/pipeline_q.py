@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sanctum_spark.io import load_table
+from sanctum_spark.io import load_table, parquet_row_count
 from sanctum_spark.queries import register
 from sanctum_spark.queries.util import stable_round
 
@@ -444,9 +444,13 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost wins, so the plan choice is cost-based at runtime; both
     # plans are bit-identical on output (pinned).  q91 — fixed
     # quarter-slice validation — pins the naive plan instead.
+    # doc_count from parquet footers: the auto plan switch needs the
+    # corpus cardinality, and footer metadata answers it with zero Spark
+    # jobs (vs the count() fallback — a full extra corpus scan at 100 TB).
     pairs = ngram_jaccard_pairs(
         docs, "text", "doc_id", shingle_k=3, threshold=0.4, hashed=True,
         prefix_filter="auto",
+        doc_count=parquet_row_count(sf_dir, "documents"),
     )
     comp = connected_components(pairs, "id_a", "id_b")
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))

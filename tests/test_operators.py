@@ -1752,3 +1752,23 @@ def test_jaccard_auto_plan_switch(spark):
     naive = key(pairs(prefix_filter=False))
     assert key(below) == naive and key(above) == naive
     assert naive
+
+    # caller-supplied doc_count overrides any computed cardinality and
+    # routes the plan without an eager count() job (r9: the auto mode's
+    # cheapest cardinality source — parquet footers / catalog stats)
+    forced_above = pairs(
+        prefix_filter="auto", auto_prefix_min_docs=2, doc_count=100
+    )
+    forced_below = pairs(
+        prefix_filter="auto", auto_prefix_min_docs=10, doc_count=3
+    )
+    assert "posexplode" in forced_above._jdf.queryExecution().analyzed().toString()
+    assert "posexplode" not in forced_below._jdf.queryExecution().analyzed().toString()
+    assert key(forced_above) == naive and key(forced_below) == naive
+
+    # only the exact string "auto" is special-cased; any other string is
+    # a caller error, not a truthy prefix plan (ADVICE r8)
+    with pytest.raises(ValueError, match="prefix_filter"):
+        pairs(prefix_filter="Auto")
+    with pytest.raises(ValueError, match="prefix_filter"):
+        pairs(prefix_filter="off")

@@ -68,11 +68,20 @@ print("LEG_JSON:" + json.dumps(out))
 def test_parallelism_invariant_core(spark, sf_dir):
     import sanctum_spark.queries as qreg
 
+    # The comparison is vacuous if both legs run at the same core count:
+    # the session fixture's master comes from the ambient SPARK_GRAFT_CPUS
+    # (default 32), so an environment exporting SPARK_GRAFT_CPUS=3 would
+    # silently make this local[3] vs local[3].  Pick a leg value that
+    # provably differs from the session's actual parallelism.
+    session_cores = spark.sparkContext.defaultParallelism
+    leg_cores = "3" if session_cores != 3 else "5"
+    assert int(leg_cores) != session_cores
+
     qreg.load_all_modules()
     base = {n: _sha(qreg.REGISTRY[n].fn(spark, sf_dir).toPandas()) for n in CORE}
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ, SPARK_GRAFT_CPUS="3", PYTHONPATH=repo)
+    env = dict(os.environ, SPARK_GRAFT_CPUS=leg_cores, PYTHONPATH=repo)
     proc = subprocess.run(
         [sys.executable, "-c", _LEG_SRC, json.dumps(CORE), sf_dir],
         env=env, cwd=repo, capture_output=True, text=True, timeout=600,
