@@ -4,8 +4,13 @@
 Prints exactly one COMPACT JSON line (the driver keeps only a bounded stdout
 tail, so 79 inline timings overflowed it in round 1 — BENCH_r01 parsed:null):
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {top-5 slowest},
- "sf": ..., "n_queries": N, "detail": "BENCH_DETAIL.json"}
+ "sf": ..., "n_queries": N, "calibration": {...}, "detail": "BENCH_DETAIL.json"}
 Full per-query timings go to BENCH_DETAIL.json next to this script.
+
+The "calibration" block (r9) makes each run self-evidencing against host
+volatility: loadavg + fixed single-core spin canaries (pure Python and
+pure JVM) bracket the suite, and the expression-tier throughput is a
+30-run median with its spread, not a single burst.
 """
 
 from __future__ import annotations
@@ -72,7 +77,7 @@ def _sustained_spell_tp(spark, sf_dir: str) -> tuple[int | None, int | None]:
         # boundary, whole-stage codegen end to end.  Own try-block: an
         # expression-tier failure must not discard the vectorized number
         # already measured above.
-        tp_expr = None
+        tp_expr, expr_stats = None, None
         try:
             from sanctum_spark.queries.spells_q import BOOST_EXPR_SPELL
 
@@ -80,21 +85,78 @@ def _sustained_spell_tp(spark, sf_dir: str) -> tuple[int | None, int | None]:
                 big, BOOST_EXPR_SPELL, schema, topic_col="event_type"
             )
             out_expr.count()  # warm
-            tp_expr = round(n / min(_timed(out_expr.count) for _ in range(5)))
+            # 30-run PLATEAU, not a single burst: at ~145M ev/s each run
+            # is <0.1 s, so a single best-of-5 sampled one scheduler
+            # window and cross-round comparisons inherited its jitter
+            # (r8 verdict task 3).  The headline is the MEDIAN of 30
+            # runs — a same-code re-run lands within the run spread, and
+            # the spread itself (best/p90) ships in the detail file so a
+            # reader can see how noisy the window was.
+            runs = sorted(_timed(out_expr.count) for _ in range(30))
+            med = runs[len(runs) // 2]
+            tp_expr = round(n / med)
+            expr_stats = {
+                "runs": 30,
+                "best_sec": round(runs[0], 4),
+                "median_sec": round(med, 4),
+                "p90_sec": round(runs[int(len(runs) * 0.9)], 4),
+                "events_per_sec_best": round(n / runs[0]),
+            }
         except Exception as exc:
             print(f"# expr spell tp skipped: {exc}", file=sys.stderr)
         finally:
             big.unpersist()
-        return round(n / best), tp_expr
+        return round(n / best), tp_expr, expr_stats
     except Exception as exc:  # never fail the bench over the extra metric
         print(f"# sustained spell tp skipped: {exc}", file=sys.stderr)
-        return None, None
+        return None, None, None
 
 
 def _timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
     return time.perf_counter() - t0
+
+
+def _py_spin_ms() -> float:
+    """Pure-Python single-core spin canary: fixed work, best of 3.
+
+    The absolute suite time has measured 0.7-2.6x across sessions on
+    identical code (co-tenant host windows, EVIDENCE_r6-r8), so every
+    bench run carries its own host-state evidence: a degraded window
+    shows up as a proportionally slow canary, letting a reader separate
+    "the code got slower" from "the host was busy" without builder-side
+    A/B reruns."""
+    def spin():
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i
+        return acc
+
+    return round(min(_timed(spin) for _ in range(3)) * 1000, 2)
+
+
+def _jvm_spin_ms(spark) -> float:
+    """Pure-JVM single-task spin canary (numPartitions=1 forces one core):
+    whole-stage-codegen sum over a fixed range, best of 3.  Catches JVM/
+    CPU-side contention the Python canary can't (GC pressure, cgroup
+    throttling of the executor threads)."""
+    def spin():
+        # double accumulator: a long sum of id*id overflows at this range
+        # under ANSI mode
+        spark.range(0, 50_000_000, 1, 1).selectExpr(
+            "sum(cast(id as double) * id)"
+        ).collect()
+
+    spin()  # warm codegen once so the canary measures the CPU, not JIT
+    return round(min(_timed(spin) for _ in range(3)) * 1000, 2)
+
+
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # platform without getloadavg
+        return []
 
 
 def main() -> None:
@@ -116,6 +178,20 @@ def main() -> None:
     spark.range(1000).select(
         F.pandas_udf(lambda s: s * 2, "long")(F.col("id"))
     ).count()
+
+    # Host-window calibration, measured INSIDE the run so the artifact
+    # carries its own evidence: loadavg + fixed single-core spin canaries
+    # before and after the suite bracket the window the numbers were
+    # taken in.  Interpretation rule: canaries near the quiet-window
+    # floors recorded in EVIDENCE_r9 mean suite absolutes are
+    # comparable; proportionally inflated canaries mean compare RATIOS
+    # only (per-query vs the prior round's detail), per the standing
+    # host-variance protocol.
+    calib: dict[str, object] = {
+        "loadavg_start": _loadavg(),
+        "py_spin_ms_start": _py_spin_ms(),
+        "jvm_spin_ms_start": _jvm_spin_ms(spark),
+    }
 
     # best-of-2 per query: the second run reuses compiled codegen and
     # warmed page cache, which is the steady-state number a resident
@@ -151,7 +227,15 @@ def main() -> None:
     # steady-state rate a resident 100 TB job would see: the same
     # route+cast pipeline over a 16x-replicated CACHED input (overhead
     # amortized), best of 3.
-    spell_tp_sustained, spell_tp_expr = _sustained_spell_tp(spark, sf_dir)
+    spell_tp_sustained, spell_tp_expr, expr_stats = _sustained_spell_tp(
+        spark, sf_dir
+    )
+
+    calib["loadavg_end"] = _loadavg()
+    calib["py_spin_ms_end"] = _py_spin_ms()
+    calib["jvm_spin_ms_end"] = _jvm_spin_ms(spark)
+    if expr_stats is not None:
+        calib["expr_tier"] = expr_stats
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -171,6 +255,7 @@ def main() -> None:
             if timings.get("q80_spell_cast")
             else None
         ),
+        "calibration": calib,
     }
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
@@ -190,6 +275,7 @@ def main() -> None:
         "spell_events_per_sec": spell_tp,
         "spell_events_per_sec_sustained": spell_tp_sustained,
         "spell_events_per_sec_expr": spell_tp_expr,
+        "calibration": calib,
         "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(result))
