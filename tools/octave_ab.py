@@ -38,12 +38,42 @@ QUERIES = [
     "q70_exact_dedup",
     "q74_minhash_lsh_pairs",
     "q99_dedup_clusters",
-    "q104_decontamination",
+    "q104_fixed_bench",
     "q108_sequence_packing",
     "q142_cross_source_overlap",
     "q146_embedding_clusters",
     "q152_cep_pattern",
 ]
+
+
+def _q104_fixed_bench(spark, sf_dir):
+    """q104's production shape for the scaling curve (r8 verdict task 4).
+
+    The registered q104 takes its benchmark slice as doc_id % 97 == 0, so
+    in the derived octave fixtures BOTH join sides double with the corpus
+    and the slope table read 2.17x/doubling for a pipeline whose real
+    deployment shape — a FIXED-size eval suite against a growing training
+    corpus — is linear in the corpus.  This measurement variant pins the
+    benchmark to the sf0.1-native ids (doc_id < 5000; every derived
+    octave keeps the original docs and appends new ids above 5000), so
+    the benchmark stays a constant 52 docs at every octave and the slope
+    measures the corpus-side broadcast semi-join, i.e. the production
+    shape.  The registered query is unchanged (oracle-paired, frozen
+    registry)."""
+    from pyspark.sql import functions as F
+
+    from sanctum_spark.io import load_table
+    from sanctum_spark.operators.text import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 5000))
+    train = docs.filter((F.col("doc_id") % 97 != 0) | (F.col("doc_id") >= 5000))
+    return decontaminate(train, bench, "text", "doc_id", k=3, threshold=0.05)
+
+
+# Measurement-only variants: production shapes the frozen registry can't
+# express (name -> callable(spark, sf_dir) -> DataFrame).
+VARIANTS = {"q104_fixed_bench": _q104_fixed_bench}
 
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -79,7 +109,7 @@ def main() -> None:
     spark = get_spark("octave_ab")
 
     def run(name: str, sf: str) -> float:
-        fn = qreg.REGISTRY[name].fn
+        fn = VARIANTS.get(name) or qreg.REGISTRY[name].fn
         t0 = time.perf_counter()
         fn(spark, sf).count()
         dt = time.perf_counter() - t0
