@@ -246,6 +246,22 @@ def main() -> None:
             seed=SEED + 2,
         )
         targets.append("sf0.8")
+    # fifth octave (opt-in: --octave5, implies sf0.8 exists): sf1.6 =
+    # double(sf0.8) — 16x the bench SF, 80k docs.  Used for spot checks
+    # that a slope holds one octave past where a defect class appeared
+    # (r8's union-mirror double execution only showed at the octave
+    # boundary).
+    if "--octave5" in sys.argv:
+        for t in DIMS + ["orders", "lineitem", "events", "documents", "embeddings"]:
+            con.execute(
+                f"CREATE VIEW d8_{t} AS SELECT * FROM "
+                f"read_parquet('{OUT}/sf0.8/{t}.parquet')"
+            )
+        gen_double(
+            con, dst_name="sf1.6", prefix="d8", src_dir=f"{OUT}/sf0.8",
+            seed=SEED + 3,
+        )
+        targets.append("sf1.6")
     for sf in targets:
         sizes = {
             t: pq.read_metadata(f"{OUT}/{sf}/{t}.parquet").num_rows

@@ -1,0 +1,343 @@
+"""Operator-PARAMETER fuzz (r8 verdict task 5 — thirteenth robustness
+family).
+
+tools/fuzz_sweep.py randomizes CONTENT (whole star schemas) but runs every
+operator at its registered parameters.  This sweep randomizes the
+PARAMETERS — shingle_k, thresholds, hash/band counts, window caps, codec
+shapes — where boundary math lives (ceil guards, prefix lengths, band
+factorizations, cap anchors), and checks each draw against an oracle the
+parameter choice cannot weaken:
+
+- A jaccard-plan-equivalence: prefix(PPJoin, each optional conjunct
+  randomly toggled) ≡ naive on the SAME random corpus for random
+  (k, threshold, hashed) — the operator's own bit-identity contract.
+- B minhash-LSH soundness+recall floor: every reported pair has exact
+  jaccard ≥ threshold, and every EXACT-duplicate pair (identical non-null
+  text ⇒ identical signatures ⇒ every band collides) is reported, for
+  random (n_hashes, bands | bands divides n_hashes, threshold).
+- C simhash completeness+soundness: reported ≡ the Python-computed
+  all-pairs set with hamming ≤ max_hamming (pigeonhole: ≤3 bit flips
+  over 4×16-bit chunks always share a chunk), for random max_hamming.
+- D cosine-topk vs a numpy brute-force oracle for random (dim, n, k),
+  zero vectors planted (NULL-cosine semantics).
+- E hashed_word_windows vs a Python re-tokenization oracle: expected
+  window STRINGS computed in Python, hashed by Spark's own xxhash64 on a
+  literal frame, compared per doc — for random (k, cap, distinct) over
+  docs including NULL/empty/whitespace/short (the r8 least()-null-skip
+  defect class lives exactly here).
+- F codec round-trips at random shapes: PNG/BMP/PPM HxWx3 exact,
+  WAV within int16 quantization, decode_image magic dispatch, and
+  truncation ⇒ ValueError (never a crash or silent wrong array).
+
+Usage: PYTHONPATH=. python tools/param_fuzz.py [n_seeds]  (default 8)
+Prints one line per (seed, family); exits 1 on any failure.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+import numpy as np
+
+FAIL = []
+
+
+def _docs(rng) -> list[tuple[int, str | None]]:
+    words = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    ).split()
+    rows: list[tuple[int, str | None]] = []
+    did = 0
+    for _ in range(rng.integers(30, 60)):
+        n = int(rng.integers(1, 40))
+        rows.append((did, " ".join(rng.choice(words) for _ in range(n))))
+        did += 1
+    # planted exact duplicates (B's recall floor, C's distance-0 pairs)
+    for _ in range(4):
+        src = rows[int(rng.integers(0, len(rows)))]
+        rows.append((did, src[1]))
+        did += 1
+    # planted near-duplicates: mutate 1-2 tokens
+    for _ in range(4):
+        src = rows[int(rng.integers(0, len(rows)))][1]
+        toks = src.split()
+        for _ in range(int(rng.integers(1, 3))):
+            toks[int(rng.integers(0, len(toks)))] = str(rng.choice(words))
+        rows.append((did, " ".join(toks)))
+        did += 1
+    # degenerate docs — the r8 defect class
+    for t in (None, "", "   ", "solo", "two tokens"):
+        rows.append((did, t))
+        did += 1
+    return rows
+
+
+def _check(seed: int, family: str, ok: bool, detail: str = "") -> None:
+    status = "ok" if ok else "FAIL"
+    print(f"seed {seed} {family}: {status} {detail}".rstrip())
+    if not ok:
+        FAIL.append((seed, family, detail))
+
+
+def fam_a_jaccard(spark, rng, seed, docs_df):
+    from sanctum_spark.operators import dedup as D
+
+    k = int(rng.integers(1, 6))
+    t = float(np.round(rng.uniform(0.1, 0.9), 3))
+    hashed = bool(rng.integers(0, 2))
+    pos = bool(rng.integers(0, 2))
+    idx = bool(rng.integers(0, 2))
+
+    def pairs(pf):
+        return {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in D.ngram_jaccard_pairs(
+                docs_df, "text", "doc_id", shingle_k=k, threshold=t,
+                hashed=hashed, prefix_filter=pf,
+                positional_filter=pos, index_prefix_filter=idx,
+            ).collect()
+        }
+
+    naive, pref = pairs(False), pairs(True)
+    _check(
+        seed, "A_jaccard_plan_eq", pref == naive,
+        f"k={k} t={t} hashed={hashed} pos={pos} idx={idx} "
+        f"naive={len(naive)} diff={len(pref ^ naive)}",
+    )
+
+
+def fam_b_minhash(spark, rng, seed, docs_df, rows):
+    from sanctum_spark.operators import dedup as D
+
+    n_hashes = int(rng.choice([8, 12, 16, 24, 32]))
+    divisors = [b for b in range(2, n_hashes + 1) if n_hashes % b == 0]
+    bands = int(rng.choice(divisors))
+    t = float(np.round(rng.uniform(0.2, 0.9), 3))
+    k = int(rng.integers(1, 4))
+    got = {
+        (r["id_a"], r["id_b"]): (r["est_jaccard"], r["jaccard"])
+        for r in D.minhash_near_duplicates(
+            docs_df, "text", "doc_id",
+            n_hashes=n_hashes, bands=bands, shingle_k=k, threshold=t,
+        ).collect()
+    }
+    sound = all(j >= t for (_e, j) in got.values())
+    # exact-duplicate pairs: identical non-null text with >= 1 token
+    by_text: dict[str, list[int]] = {}
+    for did, txt in rows:
+        if txt is not None and txt.strip():
+            by_text.setdefault(" ".join(txt.lower().split()), []).append(did)
+    missing = []
+    for ids in by_text.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if (ids[i], ids[j]) not in got:
+                    missing.append((ids[i], ids[j]))
+    _check(
+        seed, "B_minhash", sound and not missing,
+        f"n={n_hashes} bands={bands} t={t} k={k} pairs={len(got)} "
+        f"sound={sound} missing_exact_dups={missing[:4]}",
+    )
+
+
+def fam_c_simhash(spark, rng, seed, docs_df):
+    from sanctum_spark.operators import dedup as D
+
+    max_h = int(rng.integers(0, 4))
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_duplicates(
+            docs_df, "text", "doc_id", max_hamming=max_h
+        ).collect()
+    }
+    fps = {r["id"]: r["simhash"] for r in D.simhash(docs_df, "text", "doc_id").collect()}
+    want = {}
+    ids = sorted(fps)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            if fps[a] is None or fps[b] is None:
+                continue
+            h = bin((fps[a] ^ fps[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if h <= max_h:
+                want[(a, b)] = h
+    _check(
+        seed, "C_simhash", got == want,
+        f"max_h={max_h} got={len(got)} want={len(want)} "
+        f"diff={sorted(set(got) ^ set(want))[:4]}",
+    )
+
+
+def fam_d_cosine(spark, rng, seed):
+    from pyspark.sql import types as T
+
+    from sanctum_spark.operators.similarity import cosine_topk
+
+    dim = int(rng.integers(3, 96))
+    n = int(rng.integers(40, 150))
+    k = int(rng.integers(1, 21))
+    V = rng.normal(0, 1, (n, dim))
+    V[int(rng.integers(0, n))] = 0.0  # zero vector: NULL cosine, excluded
+    q = rng.normal(0, 1, dim)
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in np.asarray(V[i], dtype=np.float32)]) for i in range(n)],
+        schema,
+    )
+    got = cosine_topk(df, [float(x) for x in q], k=k).collect()
+    # numpy oracle on the SAME float32-rounded vectors
+    V32 = V.astype(np.float32).astype(np.float64)
+    sims = {}
+    for i in range(n):
+        nv, nq = np.linalg.norm(V32[i]), np.linalg.norm(q)
+        if nv > 0 and nq > 0:
+            sims[i] = float(V32[i] @ q / (nv * nq))
+    order = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    ok = len(got) == min(k, len(sims))
+    # tolerance-aware: each returned sim matches numpy within 1e-6 and is
+    # >= (k-th best - 1e-6); id equality only demanded outside tie margin
+    kth = order[-1][1] if order else float("-inf")
+    for rank, r in enumerate(got):
+        i, s = r["vec_id"], r["cos_sim"]
+        if i not in sims or abs(sims[i] - s) > 1e-6 or s < kth - 1e-6:
+            ok = False
+        elif abs(order[rank][1] - s) > 1e-6:
+            ok = False
+    _check(seed, "D_cosine_topk", ok, f"dim={dim} n={n} k={k}")
+
+
+def fam_e_windows(spark, rng, seed, rows):
+    from pyspark.sql import functions as F
+
+    from sanctum_spark.operators.dedup import hashed_word_windows
+
+    k = int(rng.integers(1, 7))
+    cap = [None, 1, 2, 5, 17][int(rng.integers(0, 5))]
+    distinct = bool(rng.integers(0, 2))
+    docs_df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["w"]
+        for r in docs_df.select(
+            "doc_id",
+            hashed_word_windows("text", k=k, cap=cap, distinct=distinct).alias("w"),
+        ).collect()
+    }
+    # Python oracle: expected window STRINGS (same split semantics:
+    # lower+trim, split on \s+), hashed by Spark's own xxhash64 over a
+    # literal frame — independent of the operator's sequence/slice math.
+    import re
+
+    expected_strs: dict[int, list[str]] = {}
+    for did, txt in rows:
+        if txt is None:
+            expected_strs[did] = []
+            continue
+        toks = [t for t in re.split(r"\s+", txt.strip().lower()) if t != ""]
+        # mirror Spark split: split('') on trimmed-empty gives [''] — one
+        # empty token; windows over it hash the empty join
+        if txt.strip() == "":
+            toks = [""]
+        n = max(len(toks) - (k - 1), 0)
+        if cap is not None:
+            n = min(n, cap)
+        wins = [" ".join(toks[i : i + k]) for i in range(n)]
+        if distinct:
+            seen, ded = set(), []
+            for w in wins:
+                if w not in seen:
+                    seen.add(w)
+                    ded.append(w)
+            wins = ded
+        expected_strs[did] = wins
+    flat = [(d, i, s) for d, ws in expected_strs.items() for i, s in enumerate(ws)]
+    if flat:
+        ref = spark.createDataFrame(flat, ["doc_id", "pos", "s"]).select(
+            "doc_id", "pos", F.xxhash64("s").alias("h")
+        ).collect()
+        want: dict[int, list[int]] = {d: [] for d in expected_strs}
+        for r in sorted(ref, key=lambda r: (r["doc_id"], r["pos"])):
+            want[r["doc_id"]].append(r["h"])
+    else:
+        want = {d: [] for d in expected_strs}
+    bad = [
+        d for d in expected_strs
+        if list(got.get(d) or []) != want.get(d, [])
+    ]
+    _check(
+        seed, "E_word_windows", not bad,
+        f"k={k} cap={cap} distinct={distinct} bad_docs={bad[:4]}",
+    )
+
+
+def fam_f_codecs(rng, seed):
+    from sanctum_spark.operators import multimodal as M
+
+    ok, notes = True, []
+    for _ in range(3):
+        h, w = int(rng.integers(1, 17)), int(rng.integers(1, 17))
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        for name, enc, dec in (
+            ("png", M.encode_png, M.decode_png),
+            ("bmp", M.encode_bmp, M.decode_bmp),
+            ("ppm", M.encode_ppm, M.decode_ppm),
+        ):
+            payload = enc(img)
+            if not (dec(payload) == img).all() or not (
+                M.decode_image(payload) == img
+            ).all():
+                ok = False
+                notes.append(f"{name} {h}x{w} roundtrip")
+            # truncation must raise a clean error, not crash/misdecode
+            cut = payload[: int(rng.integers(2, max(3, len(payload) - 1)))]
+            try:
+                M.decode_image(cut)
+                # decoding a truncated payload may still succeed when the
+                # cut lands after the raster (ppm header-only cuts can't)
+            except (ValueError, NotImplementedError):
+                pass
+            except Exception as ex:  # noqa: BLE001
+                ok = False
+                notes.append(f"{name} truncation raised {type(ex).__name__}")
+    frames = int(rng.integers(1, 2000))
+    ch = int(rng.integers(1, 3))
+    rate = int(rng.choice([8000, 16000, 44100]))
+    audio = rng.uniform(-1, 1, (frames, ch)).astype(np.float32)
+    dec, got_rate = M.decode_wav(M.encode_wav(audio, rate))
+    if got_rate != rate or dec.shape != (frames, ch) or (
+        np.abs(dec - audio).max() > 2.0 / 32768
+    ):
+        ok = False
+        notes.append(f"wav {frames}x{ch}@{rate}")
+    _check(seed, "F_codecs", ok, "; ".join(notes))
+
+
+def main() -> int:
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    from sanctum_spark.session import get_spark
+
+    spark = get_spark("param_fuzz")
+    spark.sparkContext.setLogLevel("ERROR")
+    for seed in range(1, n_seeds + 1):
+        rng = np.random.default_rng(20260815 + seed)
+        rows = _docs(rng)
+        docs_df = spark.createDataFrame(rows, ["doc_id", "text"])
+        fam_a_jaccard(spark, rng, seed, docs_df)
+        fam_b_minhash(spark, rng, seed, docs_df, rows)
+        fam_c_simhash(spark, rng, seed, docs_df)
+        fam_d_cosine(spark, rng, seed)
+        fam_e_windows(spark, rng, seed, rows)
+        fam_f_codecs(rng, seed)
+    print(f"=== {n_seeds} seeds x 6 families, {len(FAIL)} failures")
+    for f in FAIL:
+        print("FAIL:", f)
+    return 1 if FAIL else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
