@@ -71,9 +71,50 @@ def _q104_fixed_bench(spark, sf_dir):
     return decontaminate(train, bench, "text", "doc_id", k=3, threshold=0.05)
 
 
+def _q99_minhash_edges(spark, sf_dir):
+    """q99's PRODUCTION shape for the scaling curve (r9 fifth-octave
+    finding).
+
+    The registered q99 sources its cluster edges from EXACT n-gram
+    Jaccard (the oracle-able validator).  The fifth octave (sf0.8 ->
+    sf1.6) measured the exact path's distinct candidate volume at 4.14x
+    per corpus doubling (17.6M -> 72.8M): at threshold 0.4 the PPJoin
+    prefix keeps ~60% of shingle instances, and every shingle's document
+    frequency doubles with the corpus, so candidates grow with dfreq² —
+    quadratic BY CONSTRUCTION on any corpus whose shingle frequencies
+    scale, which is exactly why the operator's contract says the exact
+    form is a validator.  The production edge source at 100 TB is
+    MinHash-LSH banding (q74's shape, measured 2.03x/doubling at the
+    same octave) with exact-Jaccard verification on candidates only;
+    the CC operator is edge-source-agnostic (q99's own doc).  This
+    variant measures that composition end to end."""
+    from pyspark.sql import functions as F
+
+    from sanctum_spark.io import load_table
+    from sanctum_spark.operators.dedup import (
+        connected_components,
+        minhash_near_duplicates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "text", "doc_id", n_hashes=16, bands=4, shingle_k=3, threshold=0.4
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 # Measurement-only variants: production shapes the frozen registry can't
 # express (name -> callable(spark, sf_dir) -> DataFrame).
-VARIANTS = {"q104_fixed_bench": _q104_fixed_bench}
+VARIANTS = {
+    "q104_fixed_bench": _q104_fixed_bench,
+    "q99_minhash_edges": _q99_minhash_edges,
+}
 
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
