@@ -1772,3 +1772,38 @@ def test_jaccard_auto_plan_switch(spark):
         pairs(prefix_filter="Auto")
     with pytest.raises(ValueError, match="prefix_filter"):
         pairs(prefix_filter="off")
+
+
+def test_auto_plan_construction_runs_zero_jobs(spark, sf_dir):
+    """Constructing an auto-mode ngram_jaccard_pairs plan with a
+    caller-supplied doc_count must fire NO Spark job: at 100 TB an eager
+    count() at plan time is a full corpus scan before the real work
+    (r8 verdict task 6's done-criterion, pinned).  The q99/q158 query
+    FUNCTIONS can't be probed whole — connected_components is iterative
+    and executes during construction by design — so the pin targets the
+    exact call they make (pipeline_q.py q99 / pipeline6_q.py q158)."""
+    from sanctum_spark.io import load_table, parquet_row_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.first()  # warm the scan's first-touch side effects
+
+    sc = spark.sparkContext
+    n = parquet_row_count(sf_dir, "documents")  # pure footer read, no Spark
+    sc.setJobGroup("plan_construction_probe", "auto-switch zero-job pin")
+    try:
+        for min_docs in (2, 10**9):  # routes prefix AND naive
+            df = D.ngram_jaccard_pairs(
+                docs, "text", "doc_id", shingle_k=3, threshold=0.4,
+                hashed=True, prefix_filter="auto",
+                auto_prefix_min_docs=min_docs, doc_count=n,
+            )
+            assert df.columns  # plan resolved, nothing executed
+    finally:
+        jobs = list(
+            sc.statusTracker().getJobIdsForGroup("plan_construction_probe")
+        )
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert jobs == [], (
+        f"plan construction ran Spark job(s) {jobs}; the auto switch "
+        "must take cardinality from doc_count/footers, not count()"
+    )
