@@ -317,6 +317,124 @@ def fam_f_codecs(rng, seed):
     _check(seed, "F_codecs", ok, "; ".join(notes))
 
 
+def _duck_docs(rows):
+    """Register the corpus as a DuckDB view over a pandas frame."""
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+    )
+    return con
+
+
+def fam_g_jaccard_sql(spark, rng, seed, docs_df, rows):
+    """Parameterized CROSS-ENGINE jaccard: the registered q91 oracle is
+    pinned at (k=3, t=0.4); this renders the same DuckDB SQL from RANDOM
+    (k, t) and compares raw doubles — the axis the driver gate can't
+    move.  Division of exact ints is IEEE-identical on both engines."""
+    from sanctum_spark.operators import dedup as D
+
+    k = int(rng.integers(1, 5))
+    t = float(np.round(rng.uniform(0.1, 0.8), 3))
+    pf = bool(rng.integers(0, 2))
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(
+            docs_df, "text", "doc_id", shingle_k=k, threshold=t,
+            hashed=False, prefix_filter=pf,
+        ).collect()
+    }
+    con = _duck_docs(rows)
+    sql = rf"""
+    WITH sh AS (
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - {k - 1}, 1)),
+                   i -> array_to_string(toks[i:i+{k - 1}], ' '))) AS shingles
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+              FROM documents WHERE text IS NOT NULL)
+    ),
+    ex AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT id, len(shingles) AS n_sh FROM sh)
+    SELECT id_a, id_b,
+           n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= {t}
+    """
+    want = {(r[0], r[1], r[2]) for r in con.execute(sql).fetchall()}
+    _check(
+        seed, "G_jaccard_sql", got == want,
+        f"k={k} t={t} prefix={pf} got={len(got)} want={len(want)} "
+        f"diff={sorted(got ^ want)[:3]}",
+    )
+
+
+def fam_h_decontaminate_sql(spark, rng, seed, rows):
+    """Parameterized cross-engine decontamination: random (k, threshold,
+    benchmark modulus) against the q104 oracle shape re-rendered in
+    DuckDB.  Raw containment doubles compared exactly."""
+    from sanctum_spark.operators.text import decontaminate
+
+    k = int(rng.integers(1, 5))
+    t = float(np.round(rng.uniform(0.01, 0.3), 3))
+    mod = int(rng.choice([7, 13, 29]))
+    docs_df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = docs_df.filter((docs_df.doc_id % mod) == 0)
+    train = docs_df.filter((docs_df.doc_id % mod) != 0)
+    got = {
+        (r["doc_id"], r["n_overlap"], r["containment"])
+        for r in decontaminate(
+            train, bench, "text", "doc_id", k=k, threshold=t
+        ).collect()
+    }
+    con = _duck_docs(rows)
+    sql = rf"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - {k - 1}, 1)),
+            i -> array_to_string(toks[i:i+{k - 1}], ' '))) AS shingles
+        FROM tok
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+        WHERE doc_id % {mod} = 0
+    ),
+    ex AS (
+        SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh
+        FROM sh WHERE doc_id % {mod} <> 0
+    ),
+    ov AS (
+        SELECT doc_id, MAX(n_sh) AS n_sh, COUNT(*) AS n_overlap
+        FROM ex WHERE shingle IN (SELECT shingle FROM bench)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_overlap,
+           n_overlap / CAST(n_sh AS DOUBLE) AS containment
+    FROM ov
+    WHERE n_overlap / CAST(n_sh AS DOUBLE) >= {t}
+    """
+    want = {(r[0], r[1], r[2]) for r in con.execute(sql).fetchall()}
+    _check(
+        seed, "H_decontaminate_sql", got == want,
+        f"k={k} t={t} mod={mod} got={len(got)} want={len(want)} "
+        f"diff={sorted(got ^ want)[:3]}",
+    )
+
+
 def main() -> int:
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     from sanctum_spark.session import get_spark
@@ -333,7 +451,9 @@ def main() -> int:
         fam_d_cosine(spark, rng, seed)
         fam_e_windows(spark, rng, seed, rows)
         fam_f_codecs(rng, seed)
-    print(f"=== {n_seeds} seeds x 6 families, {len(FAIL)} failures")
+        fam_g_jaccard_sql(spark, rng, seed, docs_df, rows)
+        fam_h_decontaminate_sql(spark, rng, seed, rows)
+    print(f"=== {n_seeds} seeds x 8 families, {len(FAIL)} failures")
     for f in FAIL:
         print("FAIL:", f)
     return 1 if FAIL else 0
