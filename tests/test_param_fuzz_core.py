@@ -1,0 +1,34 @@
+"""Fast regression core for the operator-parameter fuzz family
+(tools/param_fuzz.py, thirteenth robustness axis — full evidence pass:
+16 seeds x 8 families, r9).
+
+One seeded draw per family keeps the property oracles themselves under
+regression: if an operator change breaks prefix-plan bit-identity, the
+minhash recall floor, simhash pigeonhole completeness, the numpy cosine
+oracle, the window re-tokenization oracle, a codec round-trip, or either
+parameterized cross-engine SQL rendering, this fails in the suite
+instead of waiting for the next sweep run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tools import param_fuzz as PF
+
+
+def test_param_fuzz_one_seed_all_families(spark):
+    seed = 20260815 + 1  # sweep seed 1 — deterministic draw
+    rng = np.random.default_rng(seed)
+    rows = PF._docs(rng)
+    docs_df = spark.createDataFrame(rows, ["doc_id", "text"])
+    PF.FAIL.clear()
+    PF.fam_a_jaccard(spark, rng, 1, docs_df)
+    PF.fam_b_minhash(spark, rng, 1, docs_df, rows)
+    PF.fam_c_simhash(spark, rng, 1, docs_df)
+    PF.fam_d_cosine(spark, rng, 1)
+    PF.fam_e_windows(spark, rng, 1, rows)
+    PF.fam_f_codecs(rng, 1)
+    PF.fam_g_jaccard_sql(spark, rng, 1, docs_df, rows)
+    PF.fam_h_decontaminate_sql(spark, rng, 1, rows)
+    assert not PF.FAIL, PF.FAIL
