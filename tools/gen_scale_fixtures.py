@@ -262,6 +262,21 @@ def main() -> None:
             seed=SEED + 3,
         )
         targets.append("sf1.6")
+    # sixth octave (opt-in: --octave6, implies sf1.6 exists): sf3.2 =
+    # double(sf1.6) — 32x the bench SF, 160k docs.  Exists to extend the
+    # PRODUCTION-path slope (MinHash-banded clustering) past the octave
+    # where the exact path's quadratic candidate term took over (r9).
+    if "--octave6" in sys.argv:
+        for t in DIMS + ["orders", "lineitem", "events", "documents", "embeddings"]:
+            con.execute(
+                f"CREATE VIEW d16_{t} AS SELECT * FROM "
+                f"read_parquet('{OUT}/sf1.6/{t}.parquet')"
+            )
+        gen_double(
+            con, dst_name="sf3.2", prefix="d16", src_dir=f"{OUT}/sf1.6",
+            seed=SEED + 4,
+        )
+        targets.append("sf3.2")
     for sf in targets:
         sizes = {
             t: pq.read_metadata(f"{OUT}/{sf}/{t}.parquet").num_rows
