@@ -273,7 +273,21 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:
     ).select("id", "sig", "band_id", "band_key")
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    # est_jaccard is a pure function of the two signatures ON the join
+    # row, and duplicate candidates (pairs colliding in several bands)
+    # carry identical signatures — so it is computed in the join
+    # PROJECTION and the pair dedup ships (id_a, id_b, est): one double
+    # instead of two n_hashes-long signature arrays (~8x fewer shuffle
+    # bytes at the default 16 hashes).  Same r9 commute argument as the
+    # simhash Hamming pushdown; result-identical, pinned by the minhash
+    # recall/determinism tests and param-fuzz family B.
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -283,17 +297,10 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            (agree / F.size(F.col("a.sig")).cast("double")).alias("est_jaccard"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    agree = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
-    )
-    return pairs.withColumn(
-        "est_jaccard", agree / F.size("sig_a").cast("double")
-    ).select("id_a", "id_b", "est_jaccard")
 
 
 def minhash_near_duplicates(
