@@ -53,6 +53,19 @@ def stage_event_stream(
     from sanctum_spark.io import load_table
 
     ev = load_table(spark, sf_dir, "events")
+    return stage_events_df(ev, stage_dir, n_files=n_files, shuffle_within=shuffle_within)
+
+
+def stage_events_df(
+    ev: DataFrame,
+    stage_dir: str,
+    n_files: int = 4,
+    shuffle_within: bool = False,
+) -> str:
+    """DataFrame-level form of ``stage_event_stream`` for callers with a
+    synthesized or derived event log (tools/param_fuzz.py's streaming
+    family): same bucketing, intra-file order model, and mtime stamping,
+    any events-schema input."""
     staged = ev.withColumn(
         "_bucket",
         F.ntile(n_files).over(W.orderBy("ts_ns", "event_id")),

@@ -1,6 +1,6 @@
 """Fast regression core for the operator-parameter fuzz family
 (tools/param_fuzz.py, thirteenth robustness axis — full evidence pass:
-16 seeds x 8 families, r9).
+16 seeds x 9 families, r9; family I adds streaming delivery+parameters).
 
 One seeded draw per family keeps the property oracles themselves under
 regression: if an operator change breaks prefix-plan bit-identity, the
@@ -31,4 +31,14 @@ def test_param_fuzz_one_seed_all_families(spark):
     PF.fam_f_codecs(rng, 1)
     PF.fam_g_jaccard_sql(spark, rng, 1, docs_df, rows)
     PF.fam_h_decontaminate_sql(spark, rng, 1, rows)
+    assert not PF.FAIL, PF.FAIL
+
+
+def test_param_fuzz_streaming_one_seed(spark):
+    """One seeded draw of the streaming delivery+parameter family (I):
+    keeps the independent session/EWMA/CEP oracles and the boundary
+    plants (closed session merge, <=-deadline CEP) under regression."""
+    rng = np.random.default_rng(20260815 + 1)
+    PF.FAIL.clear()
+    PF.fam_i_streaming(spark, rng, 1)
     assert not PF.FAIL, PF.FAIL

@@ -28,6 +28,15 @@ parameter choice cannot weaken:
 - F codec round-trips at random shapes: PNG/BMP/PPM HxWx3 exact,
   WAV within int16 quantization, decode_image magic dispatch, and
   truncation ⇒ ValueError (never a crash or silent wrong array).
+- G/H parameterized cross-engine SQL (jaccard pairs, decontamination):
+  the oracle re-RENDERED in DuckDB from the same random parameters.
+- I streaming delivery+parameters: one random event corpus staged at
+  random (n_files, maxFilesPerTrigger) with hash-permuted intra-file
+  order, then tumbling windows / session windows / stateful EWMA /
+  CEP NFA at random (width, gap, alpha, deadline) vs independent
+  Python oracles, with exact-boundary plants (session merge is closed
+  at last+gap; CEP match is <= deadline) and same-user equal-timestamp
+  ties (the row-order tiebreak class).
 
 Usage: PYTHONPATH=. python tools/param_fuzz.py [n_seeds]  (default 8)
 Prints one line per (seed, family); exits 1 on any failure.
@@ -435,6 +444,241 @@ def fam_h_decontaminate_sql(spark, rng, seed, rows):
     )
 
 
+def _event_rows(rng, gap_us: int, cep_us: int) -> list[tuple]:
+    """Random event log for the streaming family: few users, values that
+    are exact multiples of 0.25 (order-free float sums), ~10% planted
+    equal-timestamp same-user ties (the row-order tiebreak class), plus
+    deterministic boundary plants for the drawn session gap (pairs exactly
+    gap apart MUST merge — Spark's session interval is closed at
+    last+gap — while 2×gap apart MUST split) and the drawn CEP deadline
+    (click exactly at view+deadline MUST match — the contract is <=;
+    deadline+1ms MUST NOT)."""
+    base_us = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z
+    span_us = 4 * 3600 * 1_000_000
+    users = list(range(1, int(rng.integers(4, 9))))
+    kinds = ["view", "click", "purchase", "signup", "error"]
+    probs = [0.35, 0.30, 0.15, 0.10, 0.10]
+    rows: list[tuple] = []
+    eid = 0
+    prev: tuple[int, int] | None = None
+    for _ in range(int(rng.integers(150, 400))):
+        if prev is not None and rng.random() < 0.10:
+            ts_us, uid = prev  # same-user equal-timestamp tie
+        else:
+            ts_us = base_us + int(rng.integers(0, span_us))
+            uid = int(rng.choice(users))
+        prev = (ts_us, uid)
+        rows.append((
+            eid, ts_us, uid, str(rng.choice(kinds, p=probs)),
+            float(int(rng.integers(0, 400))) / 4.0, "{}",
+        ))
+        eid += 1
+    # session-gap boundary plants on a dedicated user (no random noise)
+    su = max(users) + 1
+    t0 = base_us + int(rng.integers(0, span_us // 2))
+    for ts in (t0, t0 + gap_us, t0 + 3 * gap_us, t0 + 4 * gap_us - 1):
+        rows.append((eid, ts, su, "signup", 1.25, "{}"))
+        eid += 1
+    # CEP deadline plants on two dedicated users
+    cu1, cu2 = su + 1, su + 2
+    t1 = base_us + int(rng.integers(0, span_us // 2))
+    for ts, typ in ((t1, "view"), (t1 + cep_us, "click"), (t1 + cep_us, "purchase")):
+        rows.append((eid, ts, cu1, typ, 0.5, "{}"))  # boundary: matches
+        eid += 1
+    t2 = base_us + int(rng.integers(0, span_us // 2))
+    for ts, typ in ((t2, "view"), (t2 + cep_us + 1000, "click")):
+        rows.append((eid, ts, cu2, typ, 0.5, "{}"))  # past deadline: dead
+        eid += 1
+    return rows
+
+
+def fam_i_streaming(spark, rng, seed):
+    """Streaming delivery+parameter fuzz: one random event corpus staged
+    with random (n_files, maxFilesPerTrigger) and hash-permuted rows
+    inside each file, then four stateful operators at random parameters,
+    each checked against an INDEPENDENT Python oracle (not the batch
+    queries — a second implementation of the semantics):
+
+    - tumbling windows at random non-hour-aligned widths (epoch
+      alignment math) with count + exact-in-binary value sums;
+    - session windows at random gaps with exact-boundary plants (the
+      closed [start, last+gap] merge contract — an event at exactly
+      last+gap extends the session);
+    - stateful EWMA at random alpha (order-sensitive fold — the spell's
+      order_by must re-sort under tie-heavy perturbed delivery);
+    - CEP NFA at random deadlines with <=-boundary plants.
+    """
+    import shutil
+    import tempfile
+    import uuid as _uuid
+    from datetime import timezone
+
+    from pyspark.sql import functions as F
+
+    from sanctum_spark.streaming import sources as SRC
+    from sanctum_spark.streaming import stateful as ST
+    from sanctum_spark.streaming import windows as WIN
+    from sanctum_spark.streaming.cep import streaming_cep_pattern
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    width_min = int(rng.choice([7, 10, 13, 15, 30, 45]))
+    gap_min = int(rng.choice([3, 5, 10, 30]))
+    alpha = float(np.round(rng.uniform(0.05, 0.95), 3))
+    cep_min = int(rng.choice([3, 8, 21]))
+    n_files = int(rng.integers(2, 9))
+    mfpt = int(rng.integers(1, 3))
+    width_us = width_min * 60_000_000
+    gap_us = gap_min * 60_000_000
+    cep_us = cep_min * 60_000_000
+
+    rows = _event_rows(rng, gap_us, cep_us)
+    raw = spark.createDataFrame(
+        rows,
+        "event_id long, ts_us long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev = raw.select(
+        "event_id",
+        F.timestamp_micros("ts_us").alias("ts"),
+        (F.col("ts_us") * 1000).alias("ts_ns"),
+        "user_id", "event_type", "value", "props",
+    )
+    tmp = tempfile.mkdtemp(prefix=f"pfuzz_stream_{seed}_")
+    tag = _uuid.uuid4().hex[:6]
+    notes = [f"w={width_min}m g={gap_min}m a={alpha} d={cep_min}m f={n_files}x{mfpt}"]
+    try:
+        stage = f"{tmp}/stage"
+        SRC.stage_events_df(ev, stage, n_files=n_files, shuffle_within=True)
+
+        def stream():
+            return SRC.events_file_stream(spark, stage, max_files_per_trigger=mfpt)
+
+        def epoch_us(dt) -> int:
+            return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+
+        # 1. tumbling windows
+        name = f"pf_tum_{seed}_{tag}"
+        SRC.run_to_memory(
+            WIN.tumbling_window_agg(stream(), f"{width_min} minutes", "10 minutes"),
+            name, output_mode="complete",
+        )
+        got_t = {
+            (epoch_us(r["window_start"]), r["event_type"]): (r["n"], r["total_value"])
+            for r in spark.table(name).collect()
+        }
+        want_t: dict = {}
+        for _, ts_us, _, typ, val, _ in rows:
+            k = (ts_us - ts_us % width_us, typ)
+            n, s = want_t.get(k, (0, 0.0))
+            want_t[k] = (n + 1, s + val)
+        want_t = {k: (n, round(s, 2)) for k, (n, s) in want_t.items()}
+        ok_t = got_t == want_t
+
+        # 2. session windows
+        name = f"pf_sess_{seed}_{tag}"
+        SRC.run_to_memory(
+            WIN.session_window_agg(stream(), f"{gap_min} minutes", "10 minutes"),
+            name, output_mode="complete",
+        )
+        got_s = sorted(
+            (r["user_id"], epoch_us(r["session_start"]),
+             epoch_us(r["session_end"]), r["n_events"])
+            for r in spark.table(name).collect()
+        )
+        per_ts: dict[int, list[int]] = {}
+        for _, ts_us, uid, _, _, _ in rows:
+            per_ts.setdefault(uid, []).append(ts_us)
+        want_s = []
+        for uid, tss in per_ts.items():
+            tss.sort()
+            start, last, n = tss[0], tss[0], 1
+            for t in tss[1:]:
+                if t <= last + gap_us:  # closed [start, last+gap]: an
+                    # event AT exactly last+gap merges (probed in batch
+                    # and pinned by the exact-gap plants)
+                    last, n = t, n + 1
+                else:
+                    want_s.append((uid, start, last + gap_us, n))
+                    start, last, n = t, t, 1
+            want_s.append((uid, start, last + gap_us, n))
+        ok_s = got_s == sorted(want_s)
+
+        # 3. stateful EWMA
+        name = f"pf_ewma_{seed}_{tag}"
+        SRC.run_to_memory(
+            ST.apply_stateful_spell(
+                stream().select("user_id", "ts", "event_id", "value"),
+                ST.ewma_spell(alpha=alpha), ["user_id"],
+            ),
+            name, output_mode="update", checkpoint=f"{tmp}/ckpt_ewma",
+        )
+        got_e = {
+            r["user_id"]: (round(r["ewma"] + 1e-9, 6), r["n"])
+            for r in spark.table(name)
+            .groupBy("user_id")
+            .agg(F.max(F.struct("n", "ewma")).alias("s"))
+            .select("user_id", "s.ewma", "s.n")
+            .collect()
+        }
+        per_ev: dict[int, list[tuple]] = {}
+        for eid, ts_us, uid, _, val, _ in rows:
+            per_ev.setdefault(uid, []).append((ts_us, eid, val))
+        want_e = {}
+        for uid, lst in per_ev.items():
+            lst.sort()
+            ew, n = 0.0, 0
+            for _, _, x in lst:
+                ew = x if n == 0 else alpha * x + (1.0 - alpha) * ew
+                n += 1
+            want_e[uid] = (round(ew + 1e-9, 6), n)
+        ok_e = got_e == want_e
+
+        # 4. CEP NFA (independent skip-till-next-row simulation, in ns)
+        name = f"pf_cep_{seed}_{tag}"
+        SRC.run_to_memory(streaming_cep_pattern(stream(), cep_us * 1000), name)
+        got_c = {
+            (r["user_id"], r["view_ts"], r["click_ts"], r["purchase_ts"])
+            for r in spark.table(name).collect()
+        }
+        per_typ: dict[int, list[tuple]] = {}
+        for eid, ts_us, uid, typ, _, _ in rows:
+            per_typ.setdefault(uid, []).append((ts_us * 1000, eid, typ))
+        want_c = set()
+        dl_ns = cep_us * 1000
+        for uid, lst in per_typ.items():
+            lst.sort()
+            pv: list[int] = []
+            pp: list[tuple[int, int]] = []
+            for ts, _, typ in lst:
+                if typ == "view":
+                    pv.append(ts)
+                elif typ == "click":
+                    pp += [(v, ts) for v in pv if ts <= v + dl_ns]
+                    pv = []
+                elif typ == "purchase":
+                    want_c |= {(uid, v, c, ts) for v, c in pp if ts <= v + dl_ns}
+                    pp = []
+        ok_c = got_c == want_c
+
+        for sub, ok, got, want in (
+            ("tumbling", ok_t, got_t, want_t), ("session", ok_s, got_s, want_s),
+            ("ewma", ok_e, got_e, want_e), ("cep", ok_c, got_c, want_c),
+        ):
+            if not ok:
+                if isinstance(got, dict):
+                    d = {k: (got.get(k), want.get(k)) for k in
+                         set(got) ^ set(want) | {k for k in want if got.get(k) != want[k]}}
+                    notes.append(f"{sub} diff={list(d.items())[:3]}")
+                else:
+                    notes.append(f"{sub} got={got[:2]} want={sorted(want)[:2]}")
+        _check(
+            seed, "I_streaming", ok_t and ok_s and ok_e and ok_c,
+            "; ".join(notes),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> int:
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     from sanctum_spark.session import get_spark
@@ -453,7 +697,8 @@ def main() -> int:
         fam_f_codecs(rng, seed)
         fam_g_jaccard_sql(spark, rng, seed, docs_df, rows)
         fam_h_decontaminate_sql(spark, rng, seed, rows)
-    print(f"=== {n_seeds} seeds x 8 families, {len(FAIL)} failures")
+        fam_i_streaming(spark, rng, seed)
+    print(f"=== {n_seeds} seeds x 9 families, {len(FAIL)} failures")
     for f in FAIL:
         print("FAIL:", f)
     return 1 if FAIL else 0
