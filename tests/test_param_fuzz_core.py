@@ -1,6 +1,7 @@
 """Fast regression core for the operator-parameter fuzz family
 (tools/param_fuzz.py, thirteenth robustness axis — full evidence pass:
-16 seeds x 9 families, r9; family I adds streaming delivery+parameters).
+16 seeds x 12 families, r9; I adds streaming delivery+parameters,
+J/K/L add linkage, BM25, and BPE reference oracles).
 
 One seeded draw per family keeps the property oracles themselves under
 regression: if an operator change breaks prefix-plan bit-identity, the
@@ -41,4 +42,16 @@ def test_param_fuzz_streaming_one_seed(spark):
     rng = np.random.default_rng(20260815 + 1)
     PF.FAIL.clear()
     PF.fam_i_streaming(spark, rng, 1)
+    assert not PF.FAIL, PF.FAIL
+
+
+def test_param_fuzz_linkage_bm25_bpe_one_seed(spark):
+    """One seeded draw each of the J/K/L families: entity resolution vs
+    brute force, BM25 vs the reference formula, BPE vs an independent
+    merge loop."""
+    rng = np.random.default_rng(20260815 + 1)
+    PF.FAIL.clear()
+    PF.fam_j_linkage(spark, rng, 1)
+    PF.fam_k_bm25(spark, rng, 1)
+    PF.fam_l_bpe(spark, rng, 1)
     assert not PF.FAIL, PF.FAIL

@@ -37,6 +37,12 @@ parameter choice cannot weaken:
   Python oracles, with exact-boundary plants (session merge is closed
   at last+gap; CEP match is <= deadline) and same-user equal-timestamp
   ties (the row-order tiebreak class).
+- J entity resolution vs brute-force Python (Levenshtein + union-find)
+  at random (max_dist, prefix_len) with length-delta boundary plants.
+- K Okapi BM25 vs the reference formula at random (k1, b, k, terms),
+  plus top-k-cut consistency under the (-score, id) tie-break.
+- L distributed BPE vs an independent Python merge loop at random
+  (n_merges, max_words, min_freq), plus the apply round-trip.
 
 Usage: PYTHONPATH=. python tools/param_fuzz.py [n_seeds]  (default 8)
 Prints one line per (seed, family); exits 1 on any failure.
@@ -679,6 +685,232 @@ def fam_i_streaming(spark, rng, seed):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _lev(a: str, b: str) -> int:
+    """Reference Levenshtein (full DP) for the linkage oracle."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def fam_j_linkage(spark, rng, seed):
+    """Entity resolution vs a brute-force Python oracle: random
+    (max_dist 0-3, prefix_len 0-2) over a corpus of short near-colliding
+    names (tiny alphabet), NULL names/blocks (never pair), and planted
+    length-delta boundaries (|len(a)-len(b)| == max_dist with distance
+    exactly max_dist must survive the prefilter; max_dist+1 must not
+    pair).  Oracle: all same-block pairs, Python Levenshtein, union-find
+    closure, min-id canonical entity."""
+    from sanctum_spark.operators.linkage import resolve_entities
+
+    max_dist = int(rng.integers(0, 4))
+    prefix_len = int(rng.integers(0, 3))
+    alpha = list("abcd")
+    blocks = ["x", "y", "z", None]
+    recs: list[tuple] = []
+    rid = 0
+    for _ in range(int(rng.integers(40, 90))):
+        name = (
+            None if rng.random() < 0.08
+            else "".join(rng.choice(alpha) for _ in range(int(rng.integers(0, 8))))
+        )
+        recs.append((rid, str(rng.choice(blocks[:3])) if rng.random() > 0.05 else None, name))
+        rid += 1
+    # length-delta boundary plants: base name, one at exactly max_dist
+    # appended chars (distance == max_dist: must pair when max_dist > 0),
+    # one at max_dist+1 (must not)
+    base = "abca"
+    recs.append((rid, "x", base)); rid += 1
+    recs.append((rid, "x", base + "d" * max_dist)); rid += 1
+    recs.append((rid, "x", base + "d" * (max_dist + 1))); rid += 1
+    df = spark.createDataFrame(recs, "rec_id long, blk string, name string")
+    got = {
+        r["rec_id"]: r["entity_id"]
+        for r in resolve_entities(
+            df, "rec_id", ["blk"], "name",
+            max_dist=max_dist, prefix_len=prefix_len,
+        ).collect()
+    }
+    # brute-force oracle
+    parent = {i: i for i, _, _ in recs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, (ia, ba, na) in enumerate(recs):
+        if ba is None or na is None:
+            continue
+        for ib, bb, nb in recs[i + 1:]:
+            if bb != ba or nb is None:
+                continue
+            if prefix_len > 0 and na[:prefix_len] != nb[:prefix_len]:
+                continue
+            if abs(len(na) - len(nb)) > max_dist:
+                continue
+            if _lev(na, nb) <= max_dist:
+                ra, rb = find(ia), find(ib)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i, _, _ in recs}
+    bad = {i: (got.get(i), want[i]) for i in want if got.get(i) != want[i]}
+    _check(
+        seed, "J_linkage", not bad,
+        f"d={max_dist} p={prefix_len} n={len(recs)} bad={list(bad.items())[:3]}",
+    )
+
+
+def fam_k_bm25(spark, rng, seed):
+    """Okapi BM25 vs a Python reference at random (k1, b, k, terms):
+    scores within 2e-6 of the reference formula (idf, tf saturation,
+    length normalization over the WHOLE corpus incl. non-matching docs),
+    and the top-k cut consistent with full scoring under the
+    (-bm25, doc_id) tie-break."""
+    from sanctum_spark.operators.retrieval import bm25_scoring, bm25_topk
+
+    words = ["data", "spark", "query", "stream", "index", "shard", "merge"]
+    rows = []
+    for did in range(int(rng.integers(40, 80))):
+        n = int(rng.integers(1, 30))
+        rows.append((did, " ".join(rng.choice(words, p=_zipf(len(words))) for _ in range(n))))
+    k1 = float(np.round(rng.uniform(0.5, 2.0), 2))
+    b = float(np.round(rng.uniform(0.0, 1.0), 2))
+    k = int(rng.integers(1, 16))
+    terms = list(dict.fromkeys(
+        [str(rng.choice(words)) for _ in range(int(rng.integers(2, 5)))]
+        + ["absentterm"]  # zero-df term: contributes nothing, crashes nothing
+    ))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    with bm25_scoring(docs, terms, k1=k1, b=b) as scored:
+        got = {r["doc_id"]: r["bm25"] for r in scored.collect()}
+    # Python reference
+    import math
+    toks = {did: txt.lower().strip().split() for did, txt in rows}
+    N = len(rows)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    df_t = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+    want = {}
+    for did, tk in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = tk.count(t)
+            if tf == 0 or df_t[t] == 0:
+                continue
+            idf = math.log((N - df_t[t] + 0.5) / (df_t[t] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(tk) / avgdl))
+        if s != 0.0:
+            want[did] = round(s + 1e-9, 6)
+    ok = set(got) == set(want) and all(
+        abs(got[d] - want[d]) <= 2e-6 for d in want
+    )
+    # top-k cut: must equal the full scoring sorted by (-bm25, doc_id)
+    topk = [(r["doc_id"], r["bm25"]) for r in bm25_topk(docs, terms, k=k, k1=k1, b=b).collect()]
+    expect = sorted(got.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    ok = ok and topk == expect
+    _check(
+        seed, "K_bm25", ok,
+        f"k1={k1} b={b} k={k} terms={len(terms)} docs={len(want)}",
+    )
+
+
+def _zipf(n: int):
+    w = np.array([1.0 / (i + 1) for i in range(n)])
+    return w / w.sum()
+
+
+def fam_l_bpe(spark, rng, seed):
+    """Distributed BPE vs an independent Python reference: the corpus
+    word counts (the one Spark pass), the full merge sequence at random
+    (n_merges, max_words, min_freq) with the (freq desc, pair asc)
+    tie-break, and the apply round-trip (concatenated tokens reconstruct
+    the normalized text; every token is derivable from the merge list)."""
+    from collections import Counter
+
+    from sanctum_spark.operators.bpe import (
+        END, bpe_apply, bpe_train, word_counts,
+    )
+
+    alpha = list("abcd")
+    rows = []
+    for did in range(int(rng.integers(25, 60))):
+        n = int(rng.integers(1, 12))
+        rows.append((
+            did,
+            " ".join(
+                "".join(rng.choice(alpha) for _ in range(int(rng.integers(1, 7))))
+                for _ in range(n)
+            ),
+        ))
+    n_merges = int(rng.integers(5, 41))
+    max_words = int(rng.choice([10, 50, 1000]))
+    min_freq = int(rng.choice([1, 2, 3]))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got_counts = {(r["word"], r["n"]) for r in word_counts(docs).collect()}
+    cnt = Counter(w for _, txt in rows for w in txt.lower().strip().split() if w)
+    ok_counts = got_counts == set(cnt.items())
+
+    got_merges = bpe_train(
+        docs, n_merges=n_merges, max_words=max_words, min_freq=min_freq
+    )
+    # independent reference merge loop
+    kept = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words]
+    vocab = {tuple(w) + (END,): n for w, n in kept}
+    want_merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, n in vocab.items():
+            for a2, b2 in zip(sym, sym[1:]):
+                pairs[(a2, b2)] += n
+        if not pairs:
+            break
+        best_n = max(pairs.values())
+        if best_n < min_freq:
+            break
+        pair = min(p for p, n in pairs.items() if n == best_n)
+        want_merges.append(pair)
+        nv = {}
+        for sym, n in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == pair[0] and sym[i + 1] == pair[1]:
+                    out.append(sym[i] + sym[i + 1]); i += 2
+                else:
+                    out.append(sym[i]); i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + n
+        vocab = nv
+    ok_merges = got_merges == want_merges
+
+    applied = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_apply(docs, got_merges).collect()
+    }
+    ok_apply = True
+    derivable = {a2 + b2 for a2, b2 in got_merges} | set("abcd") | {END}
+    for did, txt in rows:
+        toks = applied[did]
+        if "".join(toks).replace(END, " ").strip() != " ".join(txt.lower().strip().split()):
+            ok_apply = False
+        # every emitted multi-char token is END or a learned merge output
+        # (encode builds symbols only by applying merges, so any merged
+        # symbol equals pair[0]+pair[1] for some learned pair)
+        for t in toks:
+            if len(t) > 1 and t != END and t not in derivable:
+                ok_apply = False
+    _check(
+        seed, "L_bpe", ok_counts and ok_merges and ok_apply,
+        f"m={n_merges} mw={max_words} mf={min_freq} "
+        f"counts={ok_counts} merges={ok_merges} apply={ok_apply}",
+    )
+
+
 def main() -> int:
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     from sanctum_spark.session import get_spark
@@ -698,7 +930,10 @@ def main() -> int:
         fam_g_jaccard_sql(spark, rng, seed, docs_df, rows)
         fam_h_decontaminate_sql(spark, rng, seed, rows)
         fam_i_streaming(spark, rng, seed)
-    print(f"=== {n_seeds} seeds x 9 families, {len(FAIL)} failures")
+        fam_j_linkage(spark, rng, seed)
+        fam_k_bm25(spark, rng, seed)
+        fam_l_bpe(spark, rng, seed)
+    print(f"=== {n_seeds} seeds x 12 families, {len(FAIL)} failures")
     for f in FAIL:
         print("FAIL:", f)
     return 1 if FAIL else 0
