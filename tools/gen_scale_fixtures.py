@@ -277,6 +277,20 @@ def main() -> None:
             seed=SEED + 4,
         )
         targets.append("sf3.2")
+    # seventh octave (opt-in: --octave7, implies sf3.2 exists): sf6.4 =
+    # double(sf3.2) — 64x the bench SF, 320k docs.  Flagship-path slope
+    # confirmation only (minhash pairs + MinHash-edge clustering).
+    if "--octave7" in sys.argv:
+        for t in DIMS + ["orders", "lineitem", "events", "documents", "embeddings"]:
+            con.execute(
+                f"CREATE VIEW d32_{t} AS SELECT * FROM "
+                f"read_parquet('{OUT}/sf3.2/{t}.parquet')"
+            )
+        gen_double(
+            con, dst_name="sf6.4", prefix="d32", src_dir=f"{OUT}/sf3.2",
+            seed=SEED + 5,
+        )
+        targets.append("sf6.4")
     for sf in targets:
         sizes = {
             t: pq.read_metadata(f"{OUT}/{sf}/{t}.parquet").num_rows
