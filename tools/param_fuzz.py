@@ -512,7 +512,9 @@ def fam_i_streaming(spark, rng, seed):
       last+gap extends the session);
     - stateful EWMA at random alpha (order-sensitive fold — the spell's
       order_by must re-sort under tie-heavy perturbed delivery);
-    - CEP NFA at random deadlines with <=-boundary plants.
+    - CEP NFA at random deadlines with <=-boundary plants, plus a
+      checkpoint stop/resume at a RANDOM batch boundary (exactly-once
+      across the restart: no lost in-flight partials, no duplicates).
     """
     import shutil
     import tempfile
@@ -666,9 +668,54 @@ def fam_i_streaming(spark, rng, seed):
                     pp = []
         ok_c = got_c == want_c
 
+        # 4b. CEP restart at a RANDOM batch boundary (the
+        # test_streaming_recovery contract under fuzzed parameters): the
+        # stop lands at a random point in the replay, so in-flight
+        # partial matches straddle it at random pattern stages; the
+        # resumed run must neither lose them nor duplicate run-1 output.
+        import os as _os
+        import shutil as _sh
+
+        split = int(rng.integers(1, n_files))
+        parts = sorted(
+            f for f in _os.listdir(stage)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        live = f"{tmp}/live"
+        outdir, ck = f"{tmp}/cep_out", f"{tmp}/cep_ck"
+        _os.makedirs(live)
+
+        def _restart_run():
+            q = (
+                streaming_cep_pattern(
+                    SRC.events_file_stream(spark, live, max_files_per_trigger=mfpt),
+                    cep_us * 1000,
+                )
+                .writeStream.format("parquet")
+                .option("path", outdir)
+                .option("checkpointLocation", ck)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        for f in parts[:split]:
+            _sh.copy2(_os.path.join(stage, f), _os.path.join(live, f))
+        _restart_run()
+        for f in parts[split:]:
+            _sh.copy2(_os.path.join(stage, f), _os.path.join(live, f))
+        _restart_run()
+        got_r = {
+            (r["user_id"], r["view_ts"], r["click_ts"], r["purchase_ts"])
+            for r in spark.read.parquet(outdir).collect()
+        }
+        ok_r = got_r == want_c
+
         for sub, ok, got, want in (
             ("tumbling", ok_t, got_t, want_t), ("session", ok_s, got_s, want_s),
             ("ewma", ok_e, got_e, want_e), ("cep", ok_c, got_c, want_c),
+            ("cep_restart", ok_r, got_r, want_c),
         ):
             if not ok:
                 if isinstance(got, dict):
@@ -678,7 +725,7 @@ def fam_i_streaming(spark, rng, seed):
                 else:
                     notes.append(f"{sub} got={got[:2]} want={sorted(want)[:2]}")
         _check(
-            seed, "I_streaming", ok_t and ok_s and ok_e and ok_c,
+            seed, "I_streaming", ok_t and ok_s and ok_e and ok_c and ok_r,
             "; ".join(notes),
         )
     finally:
