@@ -5,12 +5,14 @@ typed metadata struct.  The Spark-side plumbing — schemas, Arrow-batched
 mapInPandas pipelines, partitioning by media size — is real and tested.
 
 Decoding: real pure-Python decoders — BMP (24-bit uncompressed), PPM
-(P6 binary / P3 ascii), WAV (PCM 8/16-bit) via ``struct``/numpy, and PNG
-(8-bit gray/RGB/RGBA, all five scanline filters) via stdlib ``zlib``.
-Formats needing external codecs (JPEG/MP3/H.264…) raise
-``NotImplementedError`` unless the deterministic fake decoder is allowed
-(content-hash-seeded tensor), which keeps the pipeline-shape tests
-runnable on arbitrary bytes.
+(P6 binary / P3 ascii), WAV (PCM 8/16-bit) via ``struct``/numpy, PNG
+(8-bit gray/RGB/RGBA, all five scanline filters) via stdlib ``zlib``,
+and baseline sequential JPEG (SOF0; 4:4:4 / 4:2:2 / 4:2:0 / grayscale,
+restart markers, generic DQT/DHT — see operators/jpeg_codec.py for the
+full scope-and-honesty note).  Formats still needing external codecs
+(progressive JPEG, MP3, H.264…) raise ``NotImplementedError`` unless
+the deterministic fake decoder is allowed (content-hash-seeded tensor),
+which keeps the pipeline-shape tests runnable on arbitrary bytes.
 """
 
 from __future__ import annotations
@@ -320,17 +322,21 @@ def encode_png(pixels: np.ndarray) -> bytes:
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
-    Real pure-Python decoders handle BMP and PPM (sniffed by magic).
-    Compressed formats need an imaging library not present in this
-    container; for those, ``fake=True`` selects the deterministic fake
-    decoder (content-hash-seeded 8x8x3 tensor) so pipeline-shape tests
-    still run on arbitrary bytes.
+    Real pure-Python decoders handle PNG, BMP, PPM, and baseline JPEG
+    (sniffed by magic).  Remaining compressed formats need an imaging
+    library not present in this container; for those, ``fake=True``
+    selects the deterministic fake decoder (content-hash-seeded 8x8x3
+    tensor) so pipeline-shape tests still run on arbitrary bytes.
     """
     payload = payload or b""
-    if payload[:8] == PNG_SIG or payload[:2] in (b"BM", b"P6", b"P3"):
+    if payload[:8] == PNG_SIG or payload[:2] in (b"BM", b"P6", b"P3", b"\xff\xd8"):
         try:
             if payload[:8] == PNG_SIG:
                 return decode_png(payload)
+            if payload[:2] == b"\xff\xd8":
+                from sanctum_spark.operators.jpeg_codec import decode_jpeg
+
+                return decode_jpeg(payload)
             return (
                 decode_bmp(payload) if payload[:2] == b"BM" else decode_ppm(payload)
             )
@@ -342,9 +348,9 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
                 raise
     if not fake:
         raise NotImplementedError(
-            "payload is not PNG/BMP/PPM; other compressed formats require "
-            "an imaging library not available here (use fake=True for the "
-            "deterministic test decoder)"
+            "payload is not PNG/BMP/PPM/baseline-JPEG; other compressed "
+            "formats require an imaging library not available here (use "
+            "fake=True for the deterministic test decoder)"
         )
     # Deterministic fake tensor: per-channel md5 of (payload + channel
     # tag) tiled into the 8x8 plane.  Chosen over an RNG seed because the

@@ -329,6 +329,63 @@ def fam_f_codecs(rng, seed):
     ):
         ok = False
         notes.append(f"wav {frames}x{ch}@{rate}")
+    # baseline JPEG at random (shape, quality, subsampling, restart):
+    # lossy, so the oracle is the ANALYTIC quantization-error bound
+    # computed from the stream's own quant tables (per-coefficient error
+    # <= qt/2 through the |IDCT| basis, chroma amplified by the YCbCr->
+    # RGB row sums).  Noise images check 4:4:4 (full chroma); the 4:2:0
+    # leg uses gray-as-RGB noise (Cb=Cr constant), which exercises the
+    # subsampled MCU geometry/padding/upsample WITHOUT chroma-averaging
+    # loss — 2x2 averaging destroys per-pixel chroma noise BY DESIGN, so
+    # a noisy-chroma 4:2:0 round-trip bounds nothing.
+    from sanctum_spark.operators.jpeg_codec import (
+        _C, _quant_tables, decode_jpeg, encode_jpeg,
+    )
+
+    def _linf_bound(qt):
+        cabs = np.abs(_C)
+        return max(
+            (cabs[:, x][:, None] * cabs[:, y][None, :] * (qt / 2.0)).sum()
+            for x in range(8)
+            for y in range(8)
+        )
+
+    h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+    q = int(rng.integers(70, 101))
+    dri = int(rng.choice([0, 1, 3]))
+    ql, qc = _quant_tables(q)
+    b_y, b_c = _linf_bound(ql), _linf_bound(qc)
+    # RGB error <= Y error + (1.402+0.714+1.772-weighted) chroma errors;
+    # 1.772+0.344 is the worst row sum.  +3 for the three rounding steps.
+    tol = b_y + 2.2 * b_c + 3.0
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    dj = decode_jpeg(encode_jpeg(img, quality=q, subsampling="4:4:4",
+                                 restart_interval=dri))
+    if dj.shape != img.shape or np.abs(dj.astype(int) - img.astype(int)).max() > tol:
+        ok = False
+        notes.append(f"jpeg444 {h}x{w} q{q} dri{dri}")
+    g = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    gray3 = np.stack([g, g, g], axis=-1)
+    dj = decode_jpeg(encode_jpeg(gray3, quality=q, subsampling="4:2:0",
+                                 restart_interval=dri))
+    # constant chroma: only its DC quantizes, error <= qc[0,0]/2 per plane
+    tol420 = b_y + 2.2 * (qc[0, 0] / 2.0) + 3.0
+    if dj.shape != gray3.shape or (
+        np.abs(dj.astype(int) - gray3.astype(int)).max() > tol420
+    ):
+        ok = False
+        notes.append(f"jpeg420 {h}x{w} q{q} dri{dri}")
+    jenc = encode_jpeg(img, quality=q)
+    cut = jenc[: int(rng.integers(2, len(jenc)))]
+    try:
+        decode_jpeg(cut)
+        # a cut landing exactly at EOI-boundary can still decode; any
+        # earlier cut must raise cleanly below
+    except (ValueError, NotImplementedError):
+        pass
+    except Exception as ex:  # noqa: BLE001
+        ok = False
+        notes.append(f"jpeg truncation raised {type(ex).__name__}")
     _check(seed, "F_codecs", ok, "; ".join(notes))
 
 
