@@ -277,24 +277,26 @@ def encode_jpeg(
 ) -> bytes:
     """Encode HxWx3 uint8 RGB (or HxW grayscale) to baseline JPEG bytes.
 
-    ``subsampling``: "4:4:4" or "4:2:0" (ignored for grayscale).
-    ``restart_interval``: emit DRI + RSTn every N MCUs when > 0 (exists
-    mainly so the decoder's restart path has a round-trip exerciser)."""
+    ``subsampling``: "4:4:4", "4:2:2", or "4:2:0" (ignored for
+    grayscale).  ``restart_interval``: emit DRI + RSTn every N MCUs when
+    > 0 (exists mainly so the decoder's restart path has a round-trip
+    exerciser)."""
     arr = np.asarray(pixels)
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
         raise ValueError(f"expected HxWx3 RGB or HxW gray, got {arr.shape}")
-    if subsampling not in ("4:4:4", "4:2:0"):
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     h, w = arr.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
     ql, qc = _quant_tables(quality)
 
-    sub = not gray and subsampling == "4:2:0"
-    mcu_h, mcu_w = (16, 16) if sub else (8, 8)
+    sub_h = 2 if (not gray and subsampling != "4:4:4") else 1
+    sub_v = 2 if (not gray and subsampling == "4:2:0") else 1
+    mcu_h, mcu_w = 8 * sub_v, 8 * sub_h
     ph = (h + mcu_h - 1) // mcu_h * mcu_h
     pw = (w + mcu_w - 1) // mcu_w * mcu_w
     pad = ((0, ph - h), (0, pw - w)) + (((0, 0),) if not gray else ())
@@ -307,12 +309,13 @@ def encode_jpeg(
     else:
         ycc = _rgb_to_ycbcr(padded)
         y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
-        if sub:
-            cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-            cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-            samp = [(2, 2), (1, 1), (1, 1)]
-        else:
-            samp = [(1, 1), (1, 1), (1, 1)]
+        if sub_v == 2:
+            cb = cb.reshape(ph // 2, 2, pw, 1).mean(axis=(1, 3))
+            cr = cr.reshape(ph // 2, 2, pw, 1).mean(axis=(1, 3))
+        if sub_h == 2:
+            cb = cb.reshape(cb.shape[0], 1, pw // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(cr.shape[0], 1, pw // 2, 2).mean(axis=(1, 3))
+        samp = [(sub_h, sub_v), (1, 1), (1, 1)]
         planes = [y, cb, cr]
         qts = [ql, qc, qc]
 

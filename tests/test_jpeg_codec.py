@@ -92,6 +92,19 @@ def test_extreme_shapes():
     assert np.abs(dec.astype(int) - row.astype(int)).max() <= 10
 
 
+def test_422_roundtrip():
+    """4:2:2 exercises the decoder's asymmetric (2,1) sampling path —
+    gray-as-RGB keeps chroma constant so subsampling is lossless."""
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 256, (21, 35), dtype=np.uint8)
+    g3 = np.stack([g, g, g], axis=-1)
+    dec = decode_jpeg(
+        encode_jpeg(g3, quality=92, subsampling="4:2:2", restart_interval=2)
+    )
+    assert dec.shape == g3.shape
+    assert np.abs(dec.astype(int) - g3.astype(int)).max() <= 8
+
+
 def test_restart_interval_roundtrip():
     yy, xx = np.mgrid[0:33, 0:46]
     img = np.stack(
