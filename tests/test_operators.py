@@ -235,6 +235,38 @@ def test_extract_features_real_no_fake(spark):
     assert aud == [0.0, 0.0, 0.0] or all(abs(v) < 1e-6 for v in aud)
 
 
+def test_extract_features_real_jpeg(spark):
+    """Real JPEG payloads through the mapInPandas feature pipeline with
+    fake_decode=False: the decoded channel means must match the source
+    image within the codec's quantization error (lossy, so a bound)."""
+    import numpy as np
+
+    from sanctum_spark.operators.jpeg_codec import encode_jpeg
+
+    img = np.zeros((12, 12, 3), dtype=np.uint8)
+    img[:, :, 0] = 200  # red-ish constant: chroma subsampling lossless
+    rows = [
+        (1, "image", bytearray(encode_jpeg(img, quality=95, subsampling="4:2:0"))),
+        (2, "image", bytearray(encode_jpeg(img[:, :, 0], quality=95))),  # gray
+    ]
+    df = spark.createDataFrame(rows, "media_id long, modality string, payload binary")
+    media = df.withColumn(
+        "meta",
+        F.expr(
+            "named_struct('mime', CAST(NULL AS STRING), 'width', CAST(NULL AS INT),"
+            " 'height', CAST(NULL AS INT), 'duration_ms', CAST(NULL AS BIGINT),"
+            " 'source_uri', CAST(NULL AS STRING))"
+        ),
+    )
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in M.extract_features(media, fake_decode=False).collect()
+    }
+    assert abs(feats[1][0] - 200 / 255) < 0.02  # R mean
+    assert feats[1][1] < 0.02 and feats[1][2] < 0.02  # G/B means
+    assert abs(feats[2][0] - feats[2][1]) < 1e-6  # gray replicates channels
+
+
 def test_resize_real_bmp(spark):
     """Block-mean resize over a REAL decoded BMP: a half-black/half-white
     image must average to mid-gray in every output block row."""
