@@ -126,6 +126,19 @@ def test_decoder_error_discipline():
         decode_jpeg(enc.replace(b"\xff\xc0", b"\xff\xc2", 1))
 
 
+def test_decoder_tolerates_trailing_bytes_and_rejects_16bit_dqt():
+    img = np.full((10, 10, 3), 42, np.uint8)
+    enc = encode_jpeg(img, quality=90)
+    # trailing garbage after EOI and a stripped EOI both still decode
+    # (the scan is complete either way)
+    for payload in (enc + b"trailing-garbage", enc[:-2]):
+        assert np.abs(decode_jpeg(payload).astype(int) - 42).max() <= 2
+    i = enc.index(b"\xff\xdb")
+    bad = enc[: i + 4] + bytes([0x10 | enc[i + 4]]) + enc[i + 5 :]
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_jpeg(bad)
+
+
 def test_decode_image_dispatches_jpeg():
     img = np.full((9, 9, 3), 77, np.uint8)
     dec = decode_image(encode_jpeg(img, quality=95))
