@@ -385,6 +385,8 @@ def _parse_dht(payload: bytes, tables: dict) -> None:
     while pos < len(payload):
         tc_th = payload[pos]
         bits = list(payload[pos + 1 : pos + 17])
+        if len(bits) != 16:
+            raise ValueError("JPEG DHT truncated")
         n = sum(bits)
         values = list(payload[pos + 17 : pos + 17 + n])
         if len(values) != n:
@@ -454,6 +456,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 f"JPEG coding process SOF{marker - 0xC0} not supported"
             )
         elif marker == 0xDD:
+            if len(body) != 2:
+                raise ValueError("JPEG DRI segment malformed")
             (dri,) = struct.unpack(">H", body)
         elif marker == 0xDA:
             scan = (body, pos + 2 + seglen)
@@ -462,7 +466,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2 + seglen
     if sof is None or scan is None:
         raise ValueError("JPEG missing SOF/SOS")
+    if len(sof) < 6:
+        raise ValueError("JPEG SOF segment malformed")
     precision, h, w, ncomp = struct.unpack_from(">BHHB", sof, 0)
+    if h == 0 or w == 0:
+        raise ValueError("JPEG declares an empty frame")
     if precision != 8:
         raise NotImplementedError(f"JPEG precision {precision} not supported")
     if ncomp not in (1, 3):
@@ -476,6 +484,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
 
     sos_body, entropy_start = scan
+    if not sos_body:
+        raise ValueError("JPEG SOS segment malformed")
     ns = sos_body[0]
     if ns != ncomp:
         raise NotImplementedError("multi-scan JPEG not supported")

@@ -151,6 +151,33 @@ def test_decode_image_dispatches_jpeg():
     assert decode_image(b"\xff\xd8junk", fake=True).shape == (8, 8, 3)
 
 
+def test_decoder_corruption_hardening():
+    """Random byte corruption must decode or raise ValueError/
+    NotImplementedError — never a parser crash (struct.error,
+    IndexError) or a wrong-shaped array.  (The 12k-trial sweep lives in
+    param-fuzz family F; this is the deterministic suite core.)"""
+    rng = np.random.default_rng(99)
+    img = rng.integers(0, 256, (24, 31, 3), np.uint8)
+    enc = encode_jpeg(img, quality=88, subsampling="4:2:0", restart_interval=2)
+    for trial in range(120):
+        b = bytearray(enc)
+        mode = trial % 3
+        if mode == 0:
+            for _ in range(rng.integers(1, 6)):
+                b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        elif mode == 1:
+            b = b[: rng.integers(1, len(b))]
+        else:
+            i = int(rng.integers(0, len(b)))
+            j = int(rng.integers(i, min(len(b), i + 40)))
+            b[i:j] = bytes(int(x) for x in rng.integers(0, 256, j - i))
+        try:
+            out = decode_jpeg(bytes(b))
+            assert out.ndim == 3 and out.shape[2] == 3 and 0 not in out.shape
+        except (ValueError, NotImplementedError):
+            pass
+
+
 def test_encoder_determinism_and_validation():
     rng = np.random.default_rng(5)
     img = rng.integers(0, 256, (20, 20, 3), np.uint8)

@@ -386,6 +386,31 @@ def fam_f_codecs(rng, seed):
     except Exception as ex:  # noqa: BLE001
         ok = False
         notes.append(f"jpeg truncation raised {type(ex).__name__}")
+    # corruption hardening: random flips/truncations/splices must decode
+    # (right shape) or raise the two sanctioned error types — never a
+    # parser crash (struct.error/IndexError) or a wrong-shaped array
+    for t in range(24):
+        b = bytearray(jenc)
+        mode = t % 3
+        if mode == 0:
+            for _ in range(int(rng.integers(1, 6))):
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        elif mode == 1:
+            b = b[: int(rng.integers(1, len(b)))]
+        else:
+            i = int(rng.integers(0, len(b)))
+            j = int(rng.integers(i, min(len(b), i + 40)))
+            b[i:j] = bytes(int(x) for x in rng.integers(0, 256, j - i))
+        try:
+            out = decode_jpeg(bytes(b))
+            if out.ndim != 3 or out.shape[2] != 3 or 0 in out.shape:
+                ok = False
+                notes.append(f"jpeg corruption trial {t}: bad shape")
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as ex:  # noqa: BLE001
+            ok = False
+            notes.append(f"jpeg corruption raised {type(ex).__name__}")
     _check(seed, "F_codecs", ok, "; ".join(notes))
 
 
