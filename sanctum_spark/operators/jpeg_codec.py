@@ -57,7 +57,7 @@ _ZIGZAG = np.array(
         range(64),
         key=lambda i: (
             (i >> 3) + (i & 7),
-            (i & 7) if ((i >> 3) + (i & 7)) % 2 else -(i & 7),
+            -(i & 7) if ((i >> 3) + (i & 7)) % 2 else (i & 7),
         ),
     ),
     dtype=np.int64,
@@ -292,6 +292,10 @@ def encode_jpeg(
     h, w = arr.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if h > 65535 or w > 65535:
+        raise ValueError(f"image {h}x{w} exceeds the baseline JPEG 65535 limit")
+    if not (0 <= restart_interval <= 65535):
+        raise ValueError(f"restart_interval {restart_interval} out of range 0..65535")
     ql, qc = _quant_tables(quality)
 
     sub_h = 2 if (not gray and subsampling != "4:4:4") else 1
@@ -429,10 +433,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at byte {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1] if pos + 1 < len(data) else None
         if marker is None:
             raise ValueError("JPEG truncated at marker")
-        if marker == 0xD8:  # stray SOI
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # stray SOI / TEM / RSTn: standalone markers, no length field
             pos += 2
             continue
         if marker == 0xD9:  # EOI before SOS
@@ -494,6 +502,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         for c in comps:
             if c["id"] == cs:
                 c["td"], c["ta"] = tdta >> 4, tdta & 0x0F
+                break
+        else:
+            raise ValueError(f"JPEG scan component id {cs} not in frame")
 
     # split the entropy stream into restart segments, removing stuffing
     segments: list[bytes] = []

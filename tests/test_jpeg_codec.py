@@ -188,3 +188,61 @@ def test_encoder_determinism_and_validation():
         encode_jpeg(img, subsampling="4:1:1")
     with pytest.raises(ValueError):
         encode_jpeg(np.zeros((4, 4, 2), np.uint8))
+
+
+# T.81 Figure A.6 zigzag sequence, independently derived by the diagonal
+# walk (odd diagonals top-right -> bottom-left, even diagonals
+# bottom-left -> top-right).  Pinned as a literal so a transposed table
+# (which round-trips in-repo but scrambles interop) cannot reappear.
+_T81_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def test_zigzag_matches_t81():
+    from sanctum_spark.operators.jpeg_codec import _UNZIGZAG, _ZIGZAG
+
+    assert list(_ZIGZAG) == _T81_ZIGZAG
+    # independent re-derivation by walking the matrix (no sort-key reuse)
+    walk = []
+    for d in range(15):
+        rows = range(max(0, d - 7), min(d, 7) + 1)
+        rows = rows if d % 2 else reversed(rows)  # even diag: row descending
+        walk.extend(r * 8 + (d - r) for r in rows)
+    assert walk == _T81_ZIGZAG
+    assert [int(_ZIGZAG[int(u)]) for u in _UNZIGZAG] == list(range(64))
+
+
+def test_marker_loop_fill_bytes_and_tem():
+    """T.81 B.1.1.2 fill bytes (0xFF padding before a marker) and the
+    standalone TEM marker (0x01, no length field) must both parse."""
+    img = np.full((8, 8, 3), 50, np.uint8)
+    enc = encode_jpeg(img, quality=90)
+    i = enc.index(b"\xff\xdb")  # before the first DQT
+    with_fill = enc[:i] + b"\xff\xff\xff" + enc[i:]
+    assert np.abs(decode_jpeg(with_fill).astype(int) - 50).max() <= 2
+    with_tem = enc[:i] + b"\xff\x01" + enc[i:]
+    assert np.abs(decode_jpeg(with_tem).astype(int) - 50).max() <= 2
+
+
+def test_sos_unknown_component_raises():
+    img = np.full((8, 8), 120, np.uint8)
+    enc = encode_jpeg(img, quality=90)
+    i = enc.index(b"\xff\xda")
+    # SOS payload: len(2) ns(1) then [cs td/ta]; component id byte is i+5
+    assert enc[i + 5] == 1
+    bad = enc[: i + 5] + b"\x07" + enc[i + 6 :]
+    with pytest.raises(ValueError, match="scan component"):
+        decode_jpeg(bad)
+
+
+def test_encode_rejects_oversize_dimensions_and_dri():
+    row = np.zeros((1, 70000, 3), np.uint8)
+    with pytest.raises(ValueError, match="65535"):
+        encode_jpeg(row)
+    img = np.zeros((8, 8, 3), np.uint8)
+    with pytest.raises(ValueError, match="restart_interval"):
+        encode_jpeg(img, restart_interval=70000)
