@@ -82,85 +82,87 @@ def load_all_modules() -> None:
 # 159 (r6 verdict task #6), so the rotation cycles the whole surface every
 # ~3 rounds.
 #
-# Round 9 selection (last-driver-round census over CORRECTNESS_r01-r08:
-# r05x12, r06x48, r07x49, r08x50 - verified at round start):
-#   1. the 12 queries whose last driver row is r05 - now three rounds of
-#      code motion since their last external check, explicitly queued by
-#      the r8 verdict (task #1): q29/q35-q39 (TPC-H-ish aggregates),
-#      q66/q69 (scalar fns), q87/q88 (aggregate fns), q96/q103
-#      (array/map higher-order scalars, deferred from the r8 front-50);
-#   2. 38 of the 48 r06-era queries, oldest-first with the verdict's
-#      named priorities (q131, q141, q149-q151, q153-q157, q162-q164,
-#      the q01/q02/q30 aggregate family) plus the tie-break rule:
-#      q50_scalar_functions's oracle moved to money_round pins in r8
-#      (the ROUND(double) shortest-decimal divergence, batch 15), so its
-#      next driver row must cover the new pin.
-#   Deferred to r10 (10 r06-era relational rows, each with r7/r8-green
-#   same-family siblings): q06/q14 (TPC-H filters ~ q17-q19 r7-green),
-#   q10/q11/q12 (join variants ~ q44/q45 r8, q57/q63 r7), q23/q25
-#   (window/percentile ~ q21/q22/q24 r7, q148 r8), q33/q43 (array ops ~
-#   q133 r8, q97 r8), q52 (sort/limit ~ q113 r8).
-# After this round every query's most recent driver row is r7+ - the
-# staleness floor the r8 verdict asked for.
+# Round 10 selection (last-driver-round census over CORRECTNESS_r01-r09:
+# r06x10, r07x49, r08x50, r09x50 - verified at round start):
+#   1. the 10 r6-era rows deferred by the r9 rotation (r9 verdict task #1
+#      names them explicitly): q06/q14 (TPC-H filters), q10/q11/q12 (join
+#      variants), q23/q25 (window/percentile), q33/q43 (array ops), q52
+#      (sort/limit) - four rounds since their last external check;
+#   2. 40 of the 49 r07-era queries.  All 49 tie on staleness, so the
+#      standing tie-break applies: prioritize queries whose shared
+#      operators moved since r7 (dedup.py changed in r9 -> q70/q91/q120;
+#      text.py's q104 fixture changed in r9 -> q104; similarity.py ->
+#      q73) and defer the 9 with the strongest independent in-suite
+#      evidence: q80-q85 (spell/UDF tier family - byte-parity golden
+#      suites across all three execution tiers run in every pytest,
+#      tests/test_spell_golden_tiers.py), q58 (sort-merge-hint plan
+#      surface, plan shape pinned in test_plans.py; judge re-measured it
+#      in the r9 session), q60 (topic routing, pinned by
+#      streaming/routing tests; judge re-measured in the r9 session),
+#      q53 (string scalar fns - family siblings q50/q51/q54 got r9
+#      driver rows carrying the money_round pins).
+# After this round the staleness floor is r7 with only those 9 rows on
+# it; they are the r11 front-50 seed.
 # The FULL registry is still verified every round locally via
 # ``tools/verify_local.py`` (driver-strength string compare since r6),
 # so rotation never substitutes for whole-surface checking.
 VERIFY_FIRST: list[str] = [
-    # --- 1. last driver row r05 (stalest external evidence) ---
-    "q29_min_cost_supplier",
-    "q35_returned_revenue",
-    "q36_important_parts",
-    "q37_ship_delay_buckets",
-    "q38_excess_volume_suppliers",
-    "q39_last_shipper",
-    "q66_exists_sql",
-    "q69_date_arithmetic",
-    "q87_approx_percentile",
-    "q88_user_correlation",
-    "q96_array_higher_order",
-    "q103_map_zip_with",
-    # --- 2. r06-era: TPC-H-ish relational backfill ---
-    "q01_pricing_summary",
-    "q02_distinct_counts",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q13_range_join",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q27_cust_order_distribution",
-    "q28_above_avg_no_orders",
-    # --- 2. r06-era: grouping/rollup/window family ---
-    "q20_topk_per_group",
-    "q26_approx_distinct",
-    "q30_rollup",
-    "q31_cube",
-    "q32_grouping_sets",
-    # --- 2. r06-era: set ops / scalar fns (q50: r8 money_round pin) ---
-    "q34_unpivot",
-    "q40_set_ops",
-    "q50_scalar_functions",
-    "q51_date_functions",
-    "q54_array_functions",
-    "q59_scalar_subquery",
-    "q68_regexp_extract",
-    # --- 2. r06-era: pipeline/profiling/privacy backfill ---
-    "q131_incremental_agg",
-    "q141_mix_entropy",
-    "q149_scd2_intervals",
-    "q150_psi_drift",
-    "q151_chi2_independence",
-    "q153_dtw_similarity",
-    "q154_benford_digits",
-    "q155_weighted_reservoir",
-    "q156_powerlaw_fit",
-    "q157_shard_manifest",
-    "q162_bm25_topk",
-    "q163_k_anonymity",
-    "q164_l_diversity",
+    # --- 1. last driver row r06 (stalest external evidence) ---
+    "q06_revenue_filter",
+    "q10_semi_join",
+    "q11_anti_join",
+    "q12_outer_join_fill",
+    "q14_promo_revenue",
+    "q23_rank_family",
+    "q25_percentiles",
+    "q33_explode_positions",
+    "q43_array_manipulation",
+    "q52_sort_limit",
+    # --- 2. r07-era: operators moved since their last driver row ---
+    "q70_exact_dedup",
+    "q91_ngram_jaccard",
+    "q120_incremental_dedup",
+    "q104_decontamination",
+    "q73_cosine_topk",
+    # --- 2. r07-era: TPC-H-ish relational / window / set ops ---
+    "q17_small_quantity",
+    "q18_big_orders",
+    "q19_disjunctive",
+    "q21_window_running",
+    "q22_lag_lead",
+    "q24_first_last",
+    "q41_except_union",
+    "q42_union_by_name",
+    "q55_null_functions",
+    "q57_self_join",
+    "q61_json_props",
+    "q65_event_pivot",
+    "q67_props_as_map",
+    # --- 2. r07-era: streaming / sessionization / sequence ---
+    "q62_sessionize",
+    "q63_asof_join",
+    "q64_tumbling_window",
+    "q86_event_sequence",
+    "q102_salted_join_agg",
+    # --- 2. r07-era: text / corpus / profiling ---
+    "q71_text_stats",
+    "q72_lang_quality",
+    "q76_quality_profile",
+    "q89_dispersion",
+    "q92_corpus_clean",
+    "q105_repetition_filter",
+    "q122_lm_score",
+    "q123_pii_scrub",
+    # --- 2. r07-era: pipeline / rollup / iterative ---
+    "q100_hypertable_rollup",
+    "q101_vocab_bigrams",
+    "q106_tfidf_terms",
+    "q107_regression_aggs",
+    "q108_sequence_packing",
+    "q109_cooccurrence",
+    "q110_context_chunks",
+    "q114_textrank_keywords",
+    "q115_fuzzy_vocab",
 ]
 
 
