@@ -1839,3 +1839,76 @@ def test_auto_plan_construction_runs_zero_jobs(spark, sf_dir):
         f"plan construction ran Spark job(s) {jobs}; the auto switch "
         "must take cardinality from doc_count/footers, not count()"
     )
+
+
+def test_minhash_edge_clustering_matches_exact_path(spark):
+    """Suite pin for q99's PRODUCTION composition (r9 verdict task #2).
+
+    SCALE.md routes corpus-grain dedup clustering at 100 TB through
+    MinHash-LSH edges -> connected components (measured 1.55x/doubling
+    to sf6.4, tools/octave_ab.py::_q99_minhash_edges) while the
+    registered q99 uses exact-Jaccard edges as the oracle-able
+    validator.  This pins the production composition's OUTPUT, not just
+    its components: on a planted corpus of identical-text clusters
+    (identical text -> identical shingle set -> identical MinHash
+    signature -> guaranteed banding collision, the family-B recall
+    floor; soundness is exact-verified on candidates by construction),
+    the two edge sources must yield byte-identical cluster assignments.
+    Cross-cluster vocabularies are disjoint, so the exact path admits
+    no extra edges and full-output equality is well-defined.
+    """
+    vocab = {
+        "a": "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+        "b": "kilo lima mike november oscar papa quebec romeo sierra",
+        "c": "tango uniform victor whiskey xray yankee zulu",
+    }
+    rows = (
+        [(i, vocab["a"]) for i in (10, 11, 12, 13)]
+        + [(i, vocab["b"]) for i in (20, 21, 22)]
+        + [(i, vocab["c"]) for i in (30, 31)]
+        + [
+            (40, "one two three four five six seven eight"),
+            (41, "nine ten eleven twelve thirteen fourteen"),
+            (42, "fifteen sixteen seventeen eighteen nineteen twenty"),
+            (43, "red orange yellow green blue purple brown"),
+            (44, "cat dog bird fish horse sheep goat cow"),
+        ]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def cluster(edge_fn):
+        pairs = edge_fn(docs)
+        comp = D.connected_components(pairs, "id_a", "id_b")
+        sizes = comp.groupBy("component").agg(
+            F.count(F.lit(1)).alias("cluster_size")
+        )
+        out = comp.join(sizes, "component").select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+        )
+        return sorted((r["doc_id"], r["cluster_id"], r["cluster_size"]) for r in out.collect())
+
+    def minhash_edges(d):
+        return D.minhash_near_duplicates(
+            d, "text", "doc_id", n_hashes=16, bands=4, shingle_k=3, threshold=0.4
+        )
+
+    def exact_edges(d):
+        return D.ngram_jaccard_pairs(
+            d, "text", "doc_id", shingle_k=3, threshold=0.4, hashed=True
+        )
+
+    prod = cluster(minhash_edges)
+    validator = cluster(exact_edges)
+    expected = sorted(
+        [(i, 10, 4) for i in (10, 11, 12, 13)]
+        + [(i, 20, 3) for i in (20, 21, 22)]
+        + [(i, 30, 2) for i in (30, 31)]
+    )
+    # production == validator == ground truth on complete-recall clusters
+    assert prod == validator == expected
+    # singleton pass-through: unclustered docs never appear in the output
+    assert not {40, 41, 42, 43, 44} & {r[0] for r in prod}
+    # determinism: the production composition is stable across runs
+    assert cluster(minhash_edges) == prod
