@@ -1,6 +1,6 @@
 """Fast regression core for the operator-parameter fuzz family
 (tools/param_fuzz.py, thirteenth robustness axis — full evidence pass:
-16 seeds x 12 families, r9; I adds streaming delivery+parameters,
+16 seeds x 12 families r9 + family M r10; I adds streaming delivery,
 J/K/L add linkage, BM25, and BPE reference oracles).
 
 One seeded draw per family keeps the property oracles themselves under
@@ -54,4 +54,15 @@ def test_param_fuzz_linkage_bm25_bpe_one_seed(spark):
     PF.fam_j_linkage(spark, rng, 1)
     PF.fam_k_bm25(spark, rng, 1)
     PF.fam_l_bpe(spark, rng, 1)
+    assert not PF.FAIL, PF.FAIL
+
+
+def test_param_fuzz_eventdump_one_seed(spark):
+    """One seeded draw of the eventdump delivery+restart family (M):
+    the sanctum_eventdump DataSource's exactly-once offset replay under
+    a randomized file split, a mid-stream checkpoint restart, hidden
+    staging files, and the below-offset negative leg."""
+    rng = np.random.default_rng(20260815 + 1)
+    PF.FAIL.clear()
+    PF.fam_m_eventdump(spark, rng, 1)
     assert not PF.FAIL, PF.FAIL

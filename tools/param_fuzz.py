@@ -43,6 +43,15 @@ parameter choice cannot weaken:
   plus top-k-cut consistency under the (-score, id) tie-break.
 - L distributed BPE vs an independent Python merge loop at random
   (n_merges, max_words, min_freq), plus the apply round-trip.
+- M eventdump delivery+restart (r9 verdict task 6): a random event
+  corpus (schemaless extra keys, missing canonical keys, blank lines,
+  planted hidden staging files) split across random log-rolled files,
+  batch-read AND streamed through the sanctum_eventdump DataSource at
+  random maxFilesPerTrigger with a mid-stream checkpoint restart at a
+  random file boundary, vs the ground-truth event list (exactly-once:
+  no lost rows, no duplicates, payload bytes verbatim); plus the
+  offset contract's negative leg — a file named below the committed
+  offset is never picked up.
 
 Usage: PYTHONPATH=. python tools/param_fuzz.py [n_seeds]  (default 8)
 Prints one line per (seed, family); exits 1 on any failure.
@@ -1040,6 +1049,152 @@ def fam_l_bpe(spark, rng, seed):
     )
 
 
+
+def fam_m_eventdump(spark, rng, seed):
+    """Eventdump delivery+restart fuzz (family M): the custom
+    ``sanctum_eventdump`` DataSource's exactly-once file-offset replay
+    claim (eventdump_source.py) under randomized delivery.
+
+    Ground truth is the generated event list itself (id, user, type,
+    value, packed payload bytes) — independent of the reader's decode
+    loop.  Checks: (1) batch read of the whole dump tree equals ground
+    truth as a multiset (hidden staging files and blank lines
+    invisible); (2) a checkpointed stream consumed in two runs split at
+    a RANDOM file boundary — stop, deliver the rest, restart — equals
+    ground truth exactly (no losses across the restart, no duplicates
+    from offset replay); (3) the producer contract's negative leg: a
+    file named BELOW the committed offset (violating log-roll naming)
+    is never picked up.
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid as _uuid
+
+    from sanctum_spark.codec.msgpack_codec import pack
+    from sanctum_spark.eventdump_source import EventDumpDataSource, _encode_line
+
+    spark.dataSource.register(EventDumpDataSource)
+    n_events = int(rng.integers(120, 361))
+    n_files = int(rng.integers(3, 10))
+    mfpt = int(rng.integers(1, 5))
+    split = int(rng.integers(1, n_files))
+    types = ["view", "click", "purchase", "refund"]
+
+    truth = []  # (event_id, user_id, event_type, value, payload-bytes)
+    payloads = []
+    for i in range(n_events):
+        ev = {"event_id": i}
+        if rng.random() > 0.1:
+            ev["user_id"] = int(rng.integers(0, 10))
+        ev["event_type"] = str(rng.choice(types))
+        if rng.random() > 0.15:
+            ev["value"] = float(np.round(rng.uniform(-50, 50), 3))
+        if rng.random() < 0.2:  # schemaless extra key -> payload-only
+            ev["extra"] = int(rng.integers(0, 1000))
+        p = pack(ev)
+        payloads.append(p)
+        truth.append(
+            (i, ev.get("user_id"), ev["event_type"], ev.get("value"), p)
+        )
+
+    # random file splits (log-rolled names), random blank-line noise
+    cuts = sorted(rng.choice(np.arange(1, n_events), n_files - 1, replace=False))
+    bounds = [0, *(int(c) for c in cuts), n_events]
+    tmp = tempfile.mkdtemp(prefix=f"pfuzz_evdump_{seed}_")
+    notes = [f"n={n_events} f={n_files} mfpt={mfpt} split={split}"]
+    try:
+        stage = os.path.join(tmp, "stage")
+        os.makedirs(stage)
+        for fi in range(n_files):
+            with open(os.path.join(stage, f"ev{fi:04d}.dump"), "w") as fh:
+                for j in range(bounds[fi], bounds[fi + 1]):
+                    if rng.random() < 0.1:
+                        fh.write("\n")  # blank noise line: skipped
+                    fh.write(_encode_line(payloads[j]) + "\n")
+        # hidden staging files must be invisible to both read paths
+        for hidden in (".partial.dump.tmp", "_staging"):
+            with open(os.path.join(stage, hidden), "w") as fh:
+                fh.write("not a dump line\n")
+
+        def rows_key(rows):
+            return sorted(
+                (r[0], r[1], r[2], r[3], bytes(r[4]).hex()) for r in rows
+            )
+
+        want_all = rows_key(truth)
+
+        # 1. batch read
+        got_b = rows_key(
+            (r["event_id"], r["user_id"], r["event_type"], r["value"],
+             r["payload"])
+            for r in spark.read.format("sanctum_eventdump").load(stage).collect()
+        )
+        ok_b = got_b == want_all
+
+        # 2. checkpointed stream, restart at a random file boundary
+        live = os.path.join(tmp, "live")
+        outdir, ck = os.path.join(tmp, "out"), os.path.join(tmp, "ck")
+        os.makedirs(live)
+
+        def run_until(n_expected):
+            q = (
+                spark.readStream.format("sanctum_eventdump")
+                .option("maxFilesPerTrigger", str(mfpt))
+                .load(live)
+                .writeStream.format("parquet")
+                .option("path", outdir)
+                .option("checkpointLocation", ck)
+                .outputMode("append")
+                .trigger(processingTime="300 milliseconds")
+                .start()
+            )
+            try:
+                deadline = time.time() + 120
+                while time.time() < deadline:
+                    try:
+                        if spark.read.parquet(outdir).count() >= n_expected:
+                            break
+                    except Exception:
+                        pass
+                    time.sleep(0.3)
+            finally:
+                q.stop()
+
+        for fi in range(split):
+            shutil.copy2(
+                os.path.join(stage, f"ev{fi:04d}.dump"),
+                os.path.join(live, f"ev{fi:04d}.dump"),
+            )
+        run_until(bounds[split])
+        # between the runs: the rest of the corpus, plus a file whose
+        # name sorts BELOW the committed offset carrying a sentinel —
+        # the documented log-roll contract says it is never consumed
+        with open(os.path.join(live, "ev0000-late.dump"), "w") as fh:
+            fh.write(_encode_line(pack({"event_id": -999})) + "\n")
+        for fi in range(split, n_files):
+            shutil.copy2(
+                os.path.join(stage, f"ev{fi:04d}.dump"),
+                os.path.join(live, f"ev{fi:04d}.dump"),
+            )
+        run_until(n_events)
+        got_s = rows_key(
+            (r["event_id"], r["user_id"], r["event_type"], r["value"],
+             r["payload"])
+            for r in spark.read.parquet(outdir).collect()
+        )
+        ok_s = got_s == want_all
+        ok_late = -999 not in {t[0] for t in got_s}
+        if not ok_b:
+            notes.append(f"batch got={len(got_b)} want={len(want_all)}")
+        if not ok_s:
+            notes.append(f"stream got={len(got_s)} want={len(want_all)}")
+        _check(seed, "M_eventdump", ok_b and ok_s and ok_late, "; ".join(notes))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> int:
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     from sanctum_spark.session import get_spark
@@ -1062,7 +1217,8 @@ def main() -> int:
         fam_j_linkage(spark, rng, seed)
         fam_k_bm25(spark, rng, seed)
         fam_l_bpe(spark, rng, seed)
-    print(f"=== {n_seeds} seeds x 12 families, {len(FAIL)} failures")
+        fam_m_eventdump(spark, rng, seed)
+    print(f"=== {n_seeds} seeds x 13 families, {len(FAIL)} failures")
     for f in FAIL:
         print("FAIL:", f)
     return 1 if FAIL else 0
