@@ -291,6 +291,22 @@ def main() -> None:
             seed=SEED + 5,
         )
         targets.append("sf6.4")
+    # eighth octave (opt-in: --octave8, implies sf6.4 exists): sf12.8 =
+    # double(sf6.4) — 128x the bench SF, 640k docs.  Exists for the r9
+    # verdict's boundary check: q05 (2.07x) and q104-fixed (2.00x) sat
+    # exactly at the 2x/doubling allowance at sf6.4, which is where
+    # q99's hidden-double-execution class first surfaced.
+    if "--octave8" in sys.argv:
+        for t in DIMS + ["orders", "lineitem", "events", "documents", "embeddings"]:
+            con.execute(
+                f"CREATE VIEW d64_{t} AS SELECT * FROM "
+                f"read_parquet('{OUT}/sf6.4/{t}.parquet')"
+            )
+        gen_double(
+            con, dst_name="sf12.8", prefix="d64", src_dir=f"{OUT}/sf6.4",
+            seed=SEED + 6,
+        )
+        targets.append("sf12.8")
     for sf in targets:
         sizes = {
             t: pq.read_metadata(f"{OUT}/{sf}/{t}.parquet").num_rows
