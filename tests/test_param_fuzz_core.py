@@ -66,3 +66,13 @@ def test_param_fuzz_eventdump_one_seed(spark):
     PF.FAIL.clear()
     PF.fam_m_eventdump(spark, rng, 1)
     assert not PF.FAIL, PF.FAIL
+
+
+def test_param_fuzz_pagerank_one_seed(spark):
+    """One seeded draw of the graph power-iteration family (N):
+    pagerank/TextRank vs an independent Python oracle (node-set and
+    edge-merge contract, fixed-iteration exactness at 1e-9)."""
+    rng = np.random.default_rng(20260815 + 1)
+    PF.FAIL.clear()
+    PF.fam_n_pagerank(spark, rng, 1)
+    assert not PF.FAIL, PF.FAIL

@@ -43,6 +43,10 @@ parameter choice cannot weaken:
   plus top-k-cut consistency under the (-score, id) tie-break.
 - L distributed BPE vs an independent Python merge loop at random
   (n_merges, max_words, min_freq), plus the apply round-trip.
+- N graph power iteration: pagerank/TextRank vs an independent Python
+  oracle at random (damping, n_iter, symmetric, weighted) over random
+  multigraphs with self-loops and parallel edges (node-set and
+  edge-merge contract replicated, 1e-9 agreement).
 - M eventdump delivery+restart (r9 verdict task 6): a random event
   corpus (schemaless extra keys, missing canonical keys, blank lines,
   planted hidden staging files) split across random log-rolled files,
@@ -1195,6 +1199,82 @@ def fam_m_eventdump(spark, rng, seed):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+
+def fam_n_pagerank(spark, rng, seed):
+    """Graph power-iteration fuzz (family N): operators.graph.pagerank
+    vs an independent Python oracle at random (damping, n_iter,
+    symmetric, weighted) over a random multigraph with self-loops and
+    parallel edges.
+
+    The oracle replicates the operator's CONTRACT, not its plan: mirror
+    if symmetric, merge parallel edges by weight sum, share = w /
+    source strength, node set = distinct post-mirror SOURCES (dst-only
+    nodes are outside the rank vector by design — directed dangling
+    targets receive contributions that the node-set left join drops),
+    fixed n_iter rounds of rank = (1-d)/n + d * contrib.  Fixed
+    iteration count makes the comparison exact up to float summation
+    order (~1e-15 relative), checked at 1e-9.
+    """
+    from sanctum_spark.operators.graph import pagerank
+
+    n_nodes = int(rng.integers(8, 50))
+    n_edges = int(rng.integers(n_nodes, 4 * n_nodes))
+    damping = float(np.round(rng.uniform(0.05, 0.95), 3))
+    n_iter = int(rng.integers(1, 12))
+    symmetric = bool(rng.integers(0, 2))
+    weighted = bool(rng.integers(0, 2))
+    rows = [
+        (
+            int(rng.integers(0, n_nodes)),
+            int(rng.integers(0, n_nodes)),  # self-loops allowed
+            float(np.round(rng.uniform(0.1, 5.0), 2)),
+        )
+        for _ in range(n_edges)  # parallel edges allowed
+    ]
+    edges = spark.createDataFrame(rows, ["src", "dst", "w"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, "src", "dst",
+            weight_col="w" if weighted else None,
+            damping=damping, n_iter=n_iter, symmetric=symmetric,
+        ).collect()
+    }
+
+    # ---- independent oracle (plain dicts) ----
+    ew = {}
+    for s, d, w in rows:
+        wv = w if weighted else 1.0
+        ew[(s, d)] = ew.get((s, d), 0.0) + wv
+        if symmetric:
+            ew[(d, s)] = ew.get((d, s), 0.0) + wv
+    strength = {}
+    for (s, _d), w in ew.items():
+        strength[s] = strength.get(s, 0.0) + w
+    share = {sd: w / strength[sd[0]] for sd, w in ew.items()}
+    nodes = sorted(strength)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        contrib = {}
+        for (s, d), sh in share.items():
+            contrib[d] = contrib.get(d, 0.0) + rank[s] * sh
+        rank = {
+            v: (1.0 - damping) / n + damping * contrib.get(v, 0.0)
+            for v in nodes
+        }
+    ok_nodes = set(got) == set(rank)
+    worst = max(
+        (abs(got[v] - rank[v]) for v in rank if v in got), default=1.0
+    ) if ok_nodes else 1.0
+    ok = ok_nodes and worst < 1e-9
+    _check(
+        seed, "N_pagerank", ok,
+        f"n={n_nodes} e={n_edges} d={damping} it={n_iter} "
+        f"sym={symmetric} w={weighted} nodes_eq={ok_nodes} max_err={worst:.2e}",
+    )
+
+
 def main() -> int:
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     from sanctum_spark.session import get_spark
@@ -1218,7 +1298,8 @@ def main() -> int:
         fam_k_bm25(spark, rng, seed)
         fam_l_bpe(spark, rng, seed)
         fam_m_eventdump(spark, rng, seed)
-    print(f"=== {n_seeds} seeds x 13 families, {len(FAIL)} failures")
+        fam_n_pagerank(spark, rng, seed)
+    print(f"=== {n_seeds} seeds x 14 families, {len(FAIL)} failures")
     for f in FAIL:
         print("FAIL:", f)
     return 1 if FAIL else 0
