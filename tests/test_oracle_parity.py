@@ -62,6 +62,17 @@ def test_registry_consistency():
     assert oracle_names <= names
 
 
+def test_rotation_invariants():
+    """The driver verifies the FIRST 50 registry entries; the rotation
+    (VERIFY_FIRST) must stay exactly 50 unique registered names leading
+    queries(), and the registry stays frozen at 159 (r6 verdict)."""
+    vf = qreg.VERIFY_FIRST
+    assert len(vf) == 50 and len(set(vf)) == 50
+    ordered = list(qreg.queries())
+    assert len(ordered) == 159
+    assert ordered[:50] == vf
+
+
 def test_no_duplicate_column_names(spark, sf_dir):
     """The driver sorts columns by name before hashing — duplicate names
     would silently corrupt the compare for every query."""
