@@ -307,6 +307,21 @@ def main() -> None:
             seed=SEED + 6,
         )
         targets.append("sf12.8")
+    # ninth octave (opt-in: --octave9, implies sf12.8 exists): sf25.6 =
+    # double(sf12.8) — 256x the bench SF, lineitem 153.6M rows.  Exists
+    # to hold q05's regime-pinned fact-fact SMJ slope one octave past
+    # the r10 plan-flip boundary.
+    if "--octave9" in sys.argv:
+        for t in DIMS + ["orders", "lineitem", "events", "documents", "embeddings"]:
+            con.execute(
+                f"CREATE VIEW d128_{t} AS SELECT * FROM "
+                f"read_parquet('{OUT}/sf12.8/{t}.parquet')"
+            )
+        gen_double(
+            con, dst_name="sf25.6", prefix="d128", src_dir=f"{OUT}/sf12.8",
+            seed=SEED + 7,
+        )
+        targets.append("sf25.6")
     for sf in targets:
         sizes = {
             t: pq.read_metadata(f"{OUT}/{sf}/{t}.parquet").num_rows
