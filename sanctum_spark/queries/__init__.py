@@ -82,87 +82,89 @@ def load_all_modules() -> None:
 # 159 (r6 verdict task #6), so the rotation cycles the whole surface every
 # ~3 rounds.
 #
-# Round 10 selection (last-driver-round census over CORRECTNESS_r01-r09:
-# r06x10, r07x49, r08x50, r09x50 - verified at round start):
-#   1. the 10 r6-era rows deferred by the r9 rotation (r9 verdict task #1
-#      names them explicitly): q06/q14 (TPC-H filters), q10/q11/q12 (join
-#      variants), q23/q25 (window/percentile), q33/q43 (array ops), q52
-#      (sort/limit) - four rounds since their last external check;
-#   2. 40 of the 49 r07-era queries.  All 49 tie on staleness, so the
-#      standing tie-break applies: prioritize queries whose shared
-#      operators moved since r7 (dedup.py changed in r9 -> q70/q91/q120;
-#      text.py's q104 fixture changed in r9 -> q104; similarity.py ->
-#      q73) and defer the 9 with the strongest independent in-suite
-#      evidence: q80-q85 (spell/UDF tier family - byte-parity golden
-#      suites across all three execution tiers run in every pytest,
-#      tests/test_spell_golden_tiers.py), q58 (sort-merge-hint plan
-#      surface, plan shape pinned in test_plans.py; judge re-measured it
-#      in the r9 session), q60 (topic routing, pinned by
-#      streaming/routing tests; judge re-measured in the r9 session),
-#      q53 (string scalar fns - family siblings q50/q51/q54 got r9
-#      driver rows carrying the money_round pins).
-# After this round the staleness floor is r7 with only those 9 rows on
-# it; they are the r11 front-50 seed.
+# Round 11 selection (last-driver-round census over CORRECTNESS_r01-r10:
+# r07x9, r08x50, r09x50, r10x50 - verified at round start; r10 verdict
+# task #1 orders this rotation explicitly):
+#   1. the 9 r7-era rows deferred by the r10 rotation (named in the r10
+#      verdict): q53 (string fns), q58 (sort-merge hint), q60 (topic
+#      routing), q80-q85 (spell/UDF execution-tier family) - four rounds
+#      since their last external check, now the staleness floor;
+#   2. 41 of the 50 r08-era queries.  All 50 tie on staleness, so the
+#      standing tie-break applies: defer the 9 with the strongest
+#      independent in-suite evidence, which here are the rows-only
+#      approximate families whose driver check is weakest anyway (the
+#      driver can only count rows for them) and which each carry
+#      independent model/accuracy/determinism pins plus a dedicated fuzz
+#      family: q74 (MinHash-LSH, family B + six-octave slope series),
+#      q75 (SimHash, family C + pigeonhole pins), q78/q94/q119
+#      (SRP-LSH / IVF / PQ ANN, numpy fuzz family D), q121 (cross-corpus
+#      near-dup, family G), q129 (BPE vocab, family L), q143 (zlib
+#      compression ratio, direct-zlib pins), plus q99_dedup_clusters,
+#      whose production MinHash-edge composition got a fresh suite-level
+#      output pin in r10 (tests/test_operators.py:1844) and family-N
+#      coverage.  Rotating oracle-paired rows in ahead of rows-only rows
+#      maximizes the external evidence the 50 driver slots buy.
+# After this round the staleness floor is r8 with only those 9 rows on
+# it; they are the r12 front-50 seed.
 # The FULL registry is still verified every round locally via
 # ``tools/verify_local.py`` (driver-strength string compare since r6),
 # so rotation never substitutes for whole-surface checking.
 VERIFY_FIRST: list[str] = [
-    # --- 1. last driver row r06 (stalest external evidence) ---
-    "q06_revenue_filter",
-    "q10_semi_join",
-    "q11_anti_join",
-    "q12_outer_join_fill",
-    "q14_promo_revenue",
-    "q23_rank_family",
-    "q25_percentiles",
-    "q33_explode_positions",
-    "q43_array_manipulation",
-    "q52_sort_limit",
-    # --- 2. r07-era: operators moved since their last driver row ---
-    "q70_exact_dedup",
-    "q91_ngram_jaccard",
-    "q120_incremental_dedup",
-    "q104_decontamination",
-    "q73_cosine_topk",
-    # --- 2. r07-era: TPC-H-ish relational / window / set ops ---
-    "q17_small_quantity",
-    "q18_big_orders",
-    "q19_disjunctive",
-    "q21_window_running",
-    "q22_lag_lead",
-    "q24_first_last",
-    "q41_except_union",
-    "q42_union_by_name",
-    "q55_null_functions",
-    "q57_self_join",
-    "q61_json_props",
-    "q65_event_pivot",
-    "q67_props_as_map",
-    # --- 2. r07-era: streaming / sessionization / sequence ---
-    "q62_sessionize",
-    "q63_asof_join",
-    "q64_tumbling_window",
-    "q86_event_sequence",
-    "q102_salted_join_agg",
-    # --- 2. r07-era: text / corpus / profiling ---
-    "q71_text_stats",
-    "q72_lang_quality",
-    "q76_quality_profile",
-    "q89_dispersion",
-    "q92_corpus_clean",
-    "q105_repetition_filter",
-    "q122_lm_score",
-    "q123_pii_scrub",
-    # --- 2. r07-era: pipeline / rollup / iterative ---
-    "q100_hypertable_rollup",
-    "q101_vocab_bigrams",
-    "q106_tfidf_terms",
-    "q107_regression_aggs",
-    "q108_sequence_packing",
-    "q109_cooccurrence",
-    "q110_context_chunks",
-    "q114_textrank_keywords",
-    "q115_fuzzy_vocab",
+    # --- 1. last driver row r07 (stalest external evidence) ---
+    "q53_string_functions",
+    "q58_sort_merge_hint",
+    "q60_topic_routing",
+    "q80_spell_cast",
+    "q81_spell_loop",
+    "q82_spell_cast_vectorized",
+    "q83_grouped_agg_udf",
+    "q84_spell_fanout_udtf",
+    "q85_grouped_map_normalize",
+    # --- 2. r08-era: joins / relational ---
+    "q44_full_outer",
+    "q45_right_join",
+    "q97_map_functions",
+    "q98_hll_mergeable",
+    "q111_cdc_upsert",
+    "q112_cohort_retention",
+    "q113_lateral_topk",
+    "q130_binned_range_join",
+    "q133_lateral_udtf",
+    "q138_wow_growth",
+    "q139_active_users",
+    "q148_trailing_range_frame",
+    # --- 2. r08-era: text / dedup / multimodal / similarity ---
+    "q77_text_profile",
+    "q79_embedding_neardup",
+    "q90_multimodal_features",
+    "q142_cross_source_overlap",
+    "q144_segment_dedup",
+    "q146_embedding_clusters",
+    "q159_leakage_free_split",
+    "q161_entity_resolution",
+    # --- 2. r08-era: sampling / mixing / shards ---
+    "q93_stratified_sample",
+    "q117_group_sample",
+    "q124_train_shards",
+    "q125_quality_classifier",
+    "q126_weighted_sample",
+    "q127_domain_mix",
+    "q158_quality_keeper",
+    # --- 2. r08-era: profiling / validation / layout ---
+    "q95_funnel",
+    "q116_winsorize",
+    "q118_histogram",
+    "q128_zorder_key",
+    "q132_column_stats",
+    "q134_key_skew",
+    "q135_ewma",
+    "q136_referential_integrity",
+    "q137_time_gaps",
+    "q140_session_sequences",
+    "q145_mad_outliers",
+    "q147_heavy_hitters",
+    "q152_cep_pattern",
+    "q160_corpus_datasheet",
 ]
 
 
