@@ -5,7 +5,9 @@ Prints exactly one COMPACT JSON line (the driver keeps only a bounded stdout
 tail, so 79 inline timings overflowed it in round 1 — BENCH_r01 parsed:null):
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {top-5 slowest},
  "sf": ..., "n_queries": N, "calibration": {...}, "detail": "BENCH_DETAIL.json"}
-Full per-query timings go to BENCH_DETAIL.json next to this script.
+Full per-query timings go to BENCH_DETAIL.json next to this script —
+guarded (r11): an uncommitted BENCH_DETAIL.json is never overwritten in
+place (see _detail_target; ``--label X`` / ``--force-detail`` override).
 
 The "calibration" block (r9) makes each run self-evidencing against host
 volatility: loadavg + fixed single-core spin canaries (pure Python and
@@ -118,6 +120,65 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def _detail_target(default_path: str, argv: list[str]) -> tuple[str, str | None]:
+    """Resolve where the per-query detail file is written.
+
+    Twice running (r9, r10) a verification bench clobbered the DRIVER's
+    uncommitted BENCH_DETAIL.json in place, losing the round's per-query
+    record (r10 verdict, What's-wrong #3 → task #2: end this class in
+    code, not checklists).  Policy:
+
+    - ``--label X`` writes ``BENCH_DETAIL.X.json`` and never touches the
+      default file;
+    - ``--force-detail`` writes the default path unconditionally;
+    - otherwise, if the default file exists with content NOT recoverable
+      from git HEAD (modified vs HEAD, or untracked), the write is
+      DIVERTED to ``BENCH_DETAIL.unsaved.json`` with a stderr warning —
+      the run still succeeds and its stdout JSON names the actual file.
+
+    Returns (path, warning-or-None).  Outside a git repo the guard
+    cannot judge recoverability and keeps the old overwrite behavior.
+    """
+    if "--label" in argv:
+        label = argv[argv.index("--label") + 1]
+        if not label.replace("-", "").replace("_", "").isalnum():
+            raise SystemExit(f"bench.py: bad --label {label!r}")
+        base, ext = os.path.splitext(default_path)
+        return f"{base}.{label}{ext}", None
+    if "--force-detail" in argv or not os.path.exists(default_path):
+        return default_path, None
+    import subprocess
+
+    repo = os.path.dirname(default_path) or "."
+    rel = os.path.basename(default_path)
+    try:
+        in_repo = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "--is-inside-work-tree"],
+            capture_output=True, timeout=10,
+        ).returncode == 0
+        if not in_repo:
+            return default_path, None
+        tracked = subprocess.run(
+            ["git", "-C", repo, "ls-files", "--error-unmatch", rel],
+            capture_output=True, timeout=10,
+        ).returncode == 0
+        clean = tracked and subprocess.run(
+            ["git", "-C", repo, "diff", "--quiet", "HEAD", "--", rel],
+            capture_output=True, timeout=10,
+        ).returncode == 0
+    except Exception:
+        return default_path, None
+    if clean:
+        return default_path, None
+    base, ext = os.path.splitext(default_path)
+    diverted = f"{base}.unsaved{ext}"
+    return diverted, (
+        f"# {rel} has uncommitted content (not recoverable from git HEAD); "
+        f"detail diverted to {os.path.basename(diverted)}. Commit the file, "
+        "pass --label <name>, or pass --force-detail to overwrite."
+    )
+
+
 def _py_spin_ms() -> float:
     """Pure-Python single-core spin canary: fixed work, best of 3.
 
@@ -177,6 +238,16 @@ def main() -> None:
     li.groupBy("l_returnflag").count().collect()
     spark.range(1000).select(
         F.pandas_udf(lambda s: s * 2, "long")(F.col("id"))
+    ).count()
+    # mapInPandas worker-pool warm-up (r10 verdict task #5): the scalar
+    # pandas_udf above warms ONE worker path, but the first mapInPandas
+    # job of a session measured 10.9 s under a degraded window vs 1.4 s
+    # warm (judge's q84 attribution run) — Python-worker spawn across all
+    # cores amplifies under load into phantom per-query movers.  One
+    # throwaway 32-partition identity pass spawns the full worker pool
+    # before any timed query.
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
     ).count()
 
     # Host-window calibration, measured INSIDE the run so the artifact
@@ -239,8 +310,13 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+    detail_path, detail_warning = _detail_target(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
+        sys.argv[1:],
+    )
+    if detail_warning:
+        print(detail_warning, file=sys.stderr)
     detail = {
         "metric": "sanctum_spark_query_suite",
         "value": round(sum(timings.values()), 4),
@@ -276,7 +352,7 @@ def main() -> None:
         "spell_events_per_sec_sustained": spell_tp_sustained,
         "spell_events_per_sec_expr": spell_tp_expr,
         "calibration": calib,
-        "detail": "BENCH_DETAIL.json",
+        "detail": os.path.basename(detail_path),
     }
     print(json.dumps(result))
     spark.stop()
