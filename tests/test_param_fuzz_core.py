@@ -1,7 +1,8 @@
 """Fast regression core for the operator-parameter fuzz family
 (tools/param_fuzz.py, thirteenth robustness axis — full evidence pass:
-16 seeds x 12 families r9 + family M r10; I adds streaming delivery,
-J/K/L add linkage, BM25, and BPE reference oracles).
+16 seeds x 12 families r9 + families M/N r10, 14 families total; I adds
+streaming delivery, J/K/L add linkage, BM25, and BPE reference oracles,
+M adds eventdump delivery+restart, N the graph power-iteration oracle).
 
 One seeded draw per family keeps the property oracles themselves under
 regression: if an operator change breaks prefix-plan bit-identity, the

@@ -211,7 +211,40 @@ def gen_double(
     )
 
 
+def _require_octave(flag: str, src_dir: str, gen_flag: str | None) -> None:
+    """Opt-in octaves chain (sfN = double(sfN/2)); a missing prerequisite
+    dir used to surface as a raw DuckDB read_parquet error (r10 ADVICE
+    item 3).  Exit with the flag that generates the missing rung instead."""
+    if not os.path.isdir(src_dir):
+        hint = (
+            f"pass {gen_flag} in the same run to generate it first"
+            if gen_flag
+            else "the base octaves are generated unconditionally — run without flags first"
+        )
+        raise SystemExit(
+            f"{flag}: prerequisite {src_dir} does not exist; {hint}"
+        )
+
+
+_OCTAVE_CHAIN: list[tuple[str, str, str | None]] = [
+    # (flag, prerequisite dir, flag that generates the prerequisite —
+    #  None when the base run always produces it)
+    ("--octave4", "sf0.4", None),
+    ("--octave5", "sf0.8", "--octave4"),
+    ("--octave6", "sf1.6", "--octave5"),
+    ("--octave7", "sf3.2", "--octave6"),
+    ("--octave8", "sf6.4", "--octave7"),
+    ("--octave9", "sf12.8", "--octave8"),
+]
+
+
 def main() -> None:
+    # Fail fast on broken octave chains BEFORE the (multi-minute) base
+    # generation: each opt-in octave needs its prerequisite either on
+    # disk already or produced by an earlier flag in the same run.
+    for flag, src, gen_flag in _OCTAVE_CHAIN:
+        if flag in sys.argv and gen_flag is not None and gen_flag not in sys.argv:
+            _require_octave(flag, f"{OUT}/{src}", gen_flag)
     con = duckdb.connect()
     for t in DIMS + ["orders", "lineitem", "events", "documents", "embeddings"]:
         con.execute(
@@ -236,6 +269,7 @@ def main() -> None:
     # bench SF, 40k docs.  Opt-in because the unigram-model synthesis is
     # a few driver-side minutes and most sessions only need three octaves.
     if "--octave4" in sys.argv:
+        _require_octave("--octave4", f"{OUT}/sf0.4", None)
         for t in DIMS + ["orders", "lineitem", "events", "documents", "embeddings"]:
             con.execute(
                 f"CREATE VIEW d4_{t} AS SELECT * FROM "
@@ -252,6 +286,7 @@ def main() -> None:
     # (r8's union-mirror double execution only showed at the octave
     # boundary).
     if "--octave5" in sys.argv:
+        _require_octave("--octave5", f"{OUT}/sf0.8", "--octave4")
         for t in DIMS + ["orders", "lineitem", "events", "documents", "embeddings"]:
             con.execute(
                 f"CREATE VIEW d8_{t} AS SELECT * FROM "
@@ -267,6 +302,7 @@ def main() -> None:
     # PRODUCTION-path slope (MinHash-banded clustering) past the octave
     # where the exact path's quadratic candidate term took over (r9).
     if "--octave6" in sys.argv:
+        _require_octave("--octave6", f"{OUT}/sf1.6", "--octave5")
         for t in DIMS + ["orders", "lineitem", "events", "documents", "embeddings"]:
             con.execute(
                 f"CREATE VIEW d16_{t} AS SELECT * FROM "
@@ -281,6 +317,7 @@ def main() -> None:
     # double(sf3.2) — 64x the bench SF, 320k docs.  Flagship-path slope
     # confirmation only (minhash pairs + MinHash-edge clustering).
     if "--octave7" in sys.argv:
+        _require_octave("--octave7", f"{OUT}/sf3.2", "--octave6")
         for t in DIMS + ["orders", "lineitem", "events", "documents", "embeddings"]:
             con.execute(
                 f"CREATE VIEW d32_{t} AS SELECT * FROM "
@@ -297,6 +334,7 @@ def main() -> None:
     # exactly at the 2x/doubling allowance at sf6.4, which is where
     # q99's hidden-double-execution class first surfaced.
     if "--octave8" in sys.argv:
+        _require_octave("--octave8", f"{OUT}/sf6.4", "--octave7")
         for t in DIMS + ["orders", "lineitem", "events", "documents", "embeddings"]:
             con.execute(
                 f"CREATE VIEW d64_{t} AS SELECT * FROM "
@@ -312,6 +350,7 @@ def main() -> None:
     # to hold q05's regime-pinned fact-fact SMJ slope one octave past
     # the r10 plan-flip boundary.
     if "--octave9" in sys.argv:
+        _require_octave("--octave9", f"{OUT}/sf12.8", "--octave8")
         for t in DIMS + ["orders", "lineitem", "events", "documents", "embeddings"]:
             con.execute(
                 f"CREATE VIEW d128_{t} AS SELECT * FROM "

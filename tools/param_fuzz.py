@@ -1123,8 +1123,19 @@ def fam_m_eventdump(spark, rng, seed):
                 fh.write("not a dump line\n")
 
         def rows_key(rows):
+            # Total sort key (r10 ADVICE item 1): user_id and value are
+            # nullable, and an invariant VIOLATION with duplicate
+            # event_ids differing only in a nullable field would make
+            # sorted() raise TypeError (None < int) — crashing the fuzz
+            # run instead of recording a clean FAIL.  Map None to a
+            # (flag, value) pair so the key is always comparable.
+            def tot(x, null_stand_in):
+                return (1, null_stand_in) if x is None else (0, x)
+
             return sorted(
-                (r[0], r[1], r[2], r[3], bytes(r[4]).hex()) for r in rows
+                (r[0], tot(r[1], -1), r[2], tot(r[3], 0.0),
+                 bytes(r[4]).hex())
+                for r in rows
             )
 
         want_all = rows_key(truth)
