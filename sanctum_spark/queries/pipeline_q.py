@@ -901,44 +901,16 @@ PACK_BLOCK = 64
     ),
 )
 def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from sanctum_spark.operators.curation import pack_sequences
     from sanctum_spark.operators.text import token_count
 
-    t = (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            token_count(F.col("text")).alias("n_tok"),
-            (F.col("doc_id") - F.col("doc_id") % PACK_BLOCK).alias("blk"),
-        )
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
     )
-    # Phase 1: within-block running start (parallel across blocks).
-    w_in = (
-        Window.partitionBy("blk")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    t = t.withColumn("in_start", F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)))
-    # Phase 2: block offsets — n/PACK_BLOCK rows, the only globally-ordered
-    # scan, then broadcast back to the full table.
-    blk_tot = t.groupBy("blk").agg(F.sum("n_tok").alias("blk_tok"))
-    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
-    blk_off = blk_tot.select(
-        "blk", F.coalesce(F.sum("blk_tok").over(w_blk), F.lit(0)).alias("blk_off")
-    )
-    packed = t.join(F.broadcast(blk_off), "blk").select(
-        "doc_id",
-        "n_tok",
-        F.floor((F.col("blk_off") + F.col("in_start")) / PACK_BUDGET).alias(
-            "pack_id"
-        ),
-    )
-    return packed.groupBy("pack_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").alias("pack_tokens"),
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"),
+    # the two-phase distributed prefix sum lives in operators/curation.py
+    # (r11: shared with the fused curation pipeline's pack stage)
+    return pack_sequences(
+        t, "n_tok", "doc_id", budget=PACK_BUDGET, block=PACK_BLOCK
     )
 
 
