@@ -220,6 +220,20 @@ class EventDumpStreamReader(SimpleDataSourceStreamReader):
     instead of buffering the whole directory in one batch.
     Replay between committed offsets is exact (readBetweenOffsets), which
     is what gives checkpoint recovery exactly-once semantics.
+
+    TRIGGER CAVEAT (pinned in tests/test_eventdump.py, found by the r11
+    throughput ladder): under ``Trigger.AvailableNow`` the engine snapshots
+    "available" by calling latestOffset ONCE, and PySpark's
+    SimpleDataSourceStreamReader wrapper implements each latestOffset as
+    exactly one ``read()`` window — so an availableNow run consumes at
+    most ``maxFilesPerTrigger`` files and then terminates, silently
+    leaving the rest of the backlog unconsumed.  The Python datasource
+    API exposes no admission control (no ``latestOffset(start, limit)``),
+    so this is not fixable source-side.  To drain a backlog: use a
+    ``processingTime`` trigger and stop when the sink reaches the
+    expected count (the fuzz family M protocol), or set
+    ``maxFilesPerTrigger`` to at least the backlog's file count for a
+    one-window availableNow drain.
     """
 
     def __init__(self, options: dict):

@@ -123,3 +123,50 @@ def test_eventdump_overwrite_replaces_not_appends(spark, tmp_path):
     assert back.count() == 50  # not 100: overwrite replaced the old files
     # no staging leftovers are visible or present
     assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+
+def test_eventdump_available_now_is_one_read_window(spark, tmp_path):
+    """Trigger.AvailableNow consumes AT MOST maxFilesPerTrigger files,
+    then terminates (r11 ladder root-cause): the engine snapshots
+    "available" with ONE latestOffset call, and PySpark's simple-reader
+    wrapper maps each latestOffset to exactly one read() window.  The
+    Python datasource API has no admission control, so this is engine
+    behavior to PIN, not source behavior to fix — backlog drains must
+    use a processingTime trigger (family M protocol) or
+    maxFilesPerTrigger >= the backlog file count.  If a pyspark upgrade
+    makes availableNow drain the full backlog, this pin fails and the
+    docstring caveat (eventdump_source.py) comes out."""
+    import uuid as _uuid
+
+    from sanctum_spark.codec.msgpack_codec import pack
+    from sanctum_spark.eventdump_source import _encode_line
+
+    d = str(tmp_path / "an_dumps")
+    os.makedirs(d)
+    per_file = 10
+    n_files = 4
+    for seq in range(n_files):
+        with open(os.path.join(d, f"dump-{seq:06d}.log"), "w") as fh:
+            for i in range(seq * per_file, (seq + 1) * per_file):
+                fh.write(_encode_line(pack({"event_id": i})) + "\n")
+    spark.dataSource.register(EventDumpDataSource)
+
+    def drain(mfpt: int) -> set[int]:
+        name = f"an_{_uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.format("sanctum_eventdump")
+            .option("maxFilesPerTrigger", str(mfpt))
+            .load(d)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return {r["event_id"] for r in spark.table(name).collect()}
+
+    # window smaller than the backlog: exactly ONE window is consumed
+    assert drain(2) == set(range(2 * per_file))
+    # window covering the backlog: everything is consumed
+    assert drain(n_files) == set(range(n_files * per_file))

@@ -1,6 +1,6 @@
 """Fast regression core for the operator-parameter fuzz family
 (tools/param_fuzz.py, thirteenth robustness axis — full evidence pass:
-16 seeds x 12 families r9 + families M/N r10, 14 families total; I adds
+16 seeds x 12 families r9 + families M/N r10 + family O r11, 15 families total; I adds
 streaming delivery, J/K/L add linkage, BM25, and BPE reference oracles,
 M adds eventdump delivery+restart, N the graph power-iteration oracle).
 
@@ -76,4 +76,14 @@ def test_param_fuzz_pagerank_one_seed(spark):
     rng = np.random.default_rng(20260815 + 1)
     PF.FAIL.clear()
     PF.fam_n_pagerank(spark, rng, 1)
+    assert not PF.FAIL, PF.FAIL
+
+
+def test_param_fuzz_curation_one_seed(spark):
+    """One seeded draw of the curation-pipeline family (O, r11): the
+    fused clean->dedup->cluster->decontaminate->pack composition vs a
+    plain-Python stage-by-stage oracle under random parameters."""
+    rng = np.random.default_rng(20260815 + 1)
+    PF.FAIL.clear()
+    PF.fam_o_curation(spark, rng, 1)
     assert not PF.FAIL, PF.FAIL

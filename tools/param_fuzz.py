@@ -47,6 +47,12 @@ parameter choice cannot weaken:
   oracle at random (damping, n_iter, symmetric, weighted) over random
   multigraphs with self-loops and parallel edges (node-set and
   edge-merge contract replicated, 1e-9 agreement).
+- O curation pipeline end-to-end (r11): the fused
+  clean->dedup->cluster->decontaminate->pack composition vs a
+  plain-Python stage-by-stage oracle at random (gates, shingle_k,
+  n_hashes/bands, thresholds, pack budget/block) over corpora whose
+  every decision is Python-predictable (disjoint vocab slices + an
+  add-time exact-Jaccard guard + identical-lowercase planted clusters).
 - M eventdump delivery+restart (r9 verdict task 6): a random event
   corpus (schemaless extra keys, missing canonical keys, blank lines,
   planted hidden staging files) split across random log-rolled files,
@@ -1286,6 +1292,190 @@ def fam_n_pagerank(spark, rng, seed):
     )
 
 
+def fam_o_curation(spark, rng, seed):
+    """Fused curation pipeline vs a plain-Python end-to-end oracle
+    (family O, r11 — the pipeline composed in operators/curation.py).
+
+    The corpus is constructed so every pipeline decision is
+    Python-predictable under RANDOM parameters:
+
+    - fillers draw from per-doc DISJOINT synthetic vocab slices, and an
+      add-time guard recomputes exact shingle-Jaccard in Python against
+      every existing doc with a different lowercase form, rejecting any
+      candidate within 1e-9 of the near-dup threshold — so the only
+      pairs at-or-above threshold are IDENTICAL-LOWERCASE pairs, whose
+      identical shingle sets give identical MinHash signatures and a
+      GUARANTEED banding collision (family-B recall floor), while
+      soundness (exact verification on candidates) guarantees no other
+      edge can appear;
+    - exact-duplicate groups (same raw text) exercise the struct-min
+      keeper; case-variant groups (distinct md5, same lowercase)
+      exercise clustering; docs embedding the benchmark text exercise
+      the containment decision in BOTH directions across seeds.
+
+    The oracle replicates the CONTRACT stage by stage in Python: min-id
+    keeper per raw text, token/length gates, min-id keeper per
+    lowercase group, containment = |distinct k-shingles ∩ benchmark
+    shingles| / |doc shingles| >= threshold, then a single global
+    prefix sum to the pack table.  Random (min_tokens, min_chars,
+    shingle_k, n_hashes/bands, thresholds, pack budget/block) — full
+    pack-table equality, plus survivor-set equality for diagnostics.
+    """
+    from pyspark.sql import functions as F
+
+    from sanctum_spark.operators import curation as C
+
+    # --- random parameters ---
+    min_tokens = int(rng.integers(1, 6))
+    min_chars = int(rng.integers(5, 31))
+    max_chars = int(rng.integers(400, 2000))
+    shingle_k = int(rng.integers(2, 5))
+    n_hashes, bands = [(8, 2), (8, 4), (16, 4), (12, 3), (16, 8)][
+        int(rng.integers(0, 5))
+    ]
+    nd_thr = float(rng.uniform(0.3, 0.9))
+    dc_k = int(rng.integers(2, 4))
+    dc_thr = float(rng.uniform(0.1, 0.5))
+    budget = int(rng.integers(8, 65))
+    block = int(rng.integers(4, 17))
+
+    def shingles_of(text: str, k: int) -> set[str]:
+        toks = text.lower().split(" ")
+        return {
+            " ".join(toks[i:i + k])
+            for i in range(max(len(toks) - k + 1, 1))
+        }
+
+    def jac(a: set, b: set) -> float:
+        return len(a & b) / len(a | b) if a | b else 0.0
+
+    # --- corpus construction with the add-time Jaccard guard ---
+    slice_no = 0
+
+    def fresh_slice(n: int = 8) -> list[str]:
+        nonlocal slice_no
+        slice_no += 1
+        return [f"w{slice_no}_{j}" for j in range(n)]
+
+    def rand_text(sl: list[str], lo: int = 5, hi: int = 20) -> str:
+        n = int(rng.integers(lo, hi))
+        return " ".join(str(rng.choice(sl)) for _ in range(n))
+
+    rows: list[tuple[int, str]] = []
+    did = 0
+
+    def guarded_add(text: str) -> bool:
+        nonlocal did
+        sh = shingles_of(text, shingle_k)
+        for _, t in rows:
+            if t.lower() != text.lower() and jac(sh, shingles_of(t, shingle_k)) >= nd_thr - 1e-9:
+                return False
+            if t.lower() == text.lower():
+                continue
+        rows.append((did, text))
+        did += 1
+        return True
+
+    for _ in range(int(rng.integers(10, 22))):
+        guarded_add(rand_text(fresh_slice()))
+    # exact-duplicate groups (same raw text is always admissible)
+    for _ in range(int(rng.integers(2, 4))):
+        src = rows[int(rng.integers(0, len(rows)))][1]
+        for _ in range(int(rng.integers(1, 3))):
+            rows.append((did, src))
+            did += 1
+    # case-variant near-dup groups
+    variants = [
+        str.upper,
+        lambda s: " ".join(t.capitalize() for t in s.split(" ")),
+    ]
+    for _ in range(int(rng.integers(2, 4))):
+        base = rand_text(fresh_slice())
+        if not guarded_add(base):
+            continue
+        for v in range(int(rng.integers(1, 3))):
+            rows.append((did, variants[v % 2](base)))
+            did += 1
+    # benchmark + docs embedding it (containment branch coverage)
+    bench_text = rand_text(fresh_slice(), 10, 16)
+    bench_sh = shingles_of(bench_text, dc_k)
+    for _ in range(int(rng.integers(1, 3))):
+        extra = rand_text(fresh_slice(), 1, 5) if rng.random() < 0.5 else ""
+        guarded_add((bench_text + " " + extra).strip())
+
+    # --- plain-Python oracle, stage by stage ---
+    # 1. exact dedup: min id per raw text
+    first_by_text: dict[str, int] = {}
+    for i, t in rows:
+        first_by_text.setdefault(t, i)
+    s1 = sorted(first_by_text.values())
+    by_id = dict(rows)
+    # 2. gates
+    s2 = [
+        i for i in s1
+        if len(by_id[i].strip().split()) >= min_tokens
+        and min_chars <= len(by_id[i]) <= max_chars
+    ]
+    # 3. near-dup clustering = min id per lowercase group (construction
+    # guarantees no cross-lowercase edge can reach the threshold)
+    keeper_by_lower: dict[str, int] = {}
+    for i in s2:
+        low = by_id[i].lower()
+        keeper_by_lower.setdefault(low, i)
+        keeper_by_lower[low] = min(keeper_by_lower[low], i)
+    s3 = sorted(i for i in s2 if keeper_by_lower[by_id[i].lower()] == i)
+    # 4. decontamination
+    s4 = []
+    for i in s3:
+        sh = shingles_of(by_id[i], dc_k)
+        containment = len(sh & bench_sh) / len(sh)
+        if containment < dc_thr:
+            s4.append(i)
+    # 5. pack table via a single global prefix sum
+    want_packs: dict[int, list[tuple[int, int]]] = {}
+    cum = 0
+    for i in s4:
+        n_tok = len(by_id[i].strip().split())
+        want_packs.setdefault(cum // budget, []).append((i, n_tok))
+        cum += n_tok
+    want = sorted(
+        (pid, len(ds), sum(n for _, n in ds), min(d for d, _ in ds),
+         max(d for d, _ in ds))
+        for pid, ds in want_packs.items()
+    )
+
+    # --- the pipeline under test ---
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench_df = spark.createDataFrame([(0, bench_text)], ["doc_id", "text"])
+    params = dict(
+        min_tokens=min_tokens, min_chars=min_chars, max_chars=max_chars,
+        n_hashes=n_hashes, bands=bands, shingle_k=shingle_k,
+        neardup_threshold=nd_thr, decontam_k=dc_k,
+        decontam_threshold=dc_thr, pack_budget=budget, pack_block=block,
+    )
+    got = sorted(
+        tuple(r) for r in C.curate_and_pack(corpus, bench_df, **params).collect()
+    )
+    # survivor-set equality for diagnostics on failure
+    surv_df = C.drop_contaminated_docs(
+        C.drop_near_duplicate_docs(
+            C.clean_corpus(corpus, min_tokens=min_tokens,
+                           min_chars=min_chars, max_chars=max_chars),
+            n_hashes=n_hashes, bands=bands, shingle_k=shingle_k,
+            threshold=nd_thr),
+        bench_df, k=dc_k, threshold=dc_thr)
+    got_surv = sorted(r["doc_id"] for r in surv_df.select("doc_id").collect())
+    ok = got == want and got_surv == s4
+    detail = (
+        f"docs={len(rows)} k={shingle_k} nh/b={n_hashes}/{bands} "
+        f"nd={nd_thr:.2f} dck={dc_k} dct={dc_thr:.2f} "
+        f"budget={budget} blk={block} surv={len(s4)} packs={len(want)}"
+    )
+    if not ok:
+        detail += f"; surv_got={got_surv} surv_want={s4}"
+    _check(seed, "O_curation", ok, detail)
+
+
 def main() -> int:
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     from sanctum_spark.session import get_spark
@@ -1310,7 +1500,8 @@ def main() -> int:
         fam_l_bpe(spark, rng, seed)
         fam_m_eventdump(spark, rng, seed)
         fam_n_pagerank(spark, rng, seed)
-    print(f"=== {n_seeds} seeds x 14 families, {len(FAIL)} failures")
+        fam_o_curation(spark, rng, seed)
+    print(f"=== {n_seeds} seeds x 15 families, {len(FAIL)} failures")
     for f in FAIL:
         print("FAIL:", f)
     return 1 if FAIL else 0
