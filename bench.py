@@ -213,6 +213,26 @@ def _jvm_spin_ms(spark) -> float:
     return round(min(_timed(spin) for _ in range(3)) * 1000, 2)
 
 
+def _jvm_spin_par_ms(spark) -> float:
+    """PARALLEL JVM spin canary (r11): the same fixed work x32, spread
+    over 32 tasks.  Closes a measured calibration gap: in the r11
+    degraded-window bench both SINGLE-core canaries sat at their quiet
+    floors (py 92-97 ms, jvm 95-147 ms) while 32-way-parallel queries ran
+    ~1.5x slow — a co-tenant eating half the cores leaves any 1-core
+    canary nominal but throttles every parallel stage.  Quiet floor for
+    this canary is ~= the single-core jvm spin (perfect scaling of 32x
+    work on 32 threads); a reading at k x floor means only 32/k effective
+    cores were available, and suite absolutes must be compared as ratios
+    per the host-variance protocol."""
+    def spin():
+        spark.range(0, 32 * 50_000_000, 1, 32).selectExpr(
+            "sum(cast(id as double) * id)"
+        ).collect()
+
+    spin()
+    return round(min(_timed(spin) for _ in range(3)) * 1000, 2)
+
+
 def _loadavg() -> list[float]:
     try:
         return [round(x, 2) for x in os.getloadavg()]
@@ -262,6 +282,7 @@ def main() -> None:
         "loadavg_start": _loadavg(),
         "py_spin_ms_start": _py_spin_ms(),
         "jvm_spin_ms_start": _jvm_spin_ms(spark),
+        "jvm_spin_par_ms_start": _jvm_spin_par_ms(spark),
     }
 
     # best-of-2 per query: the second run reuses compiled codegen and
@@ -305,6 +326,7 @@ def main() -> None:
     calib["loadavg_end"] = _loadavg()
     calib["py_spin_ms_end"] = _py_spin_ms()
     calib["jvm_spin_ms_end"] = _jvm_spin_ms(spark)
+    calib["jvm_spin_par_ms_end"] = _jvm_spin_par_ms(spark)
     if expr_stats is not None:
         calib["expr_tier"] = expr_stats
 
