@@ -173,3 +173,37 @@ def test_fused_equals_staged_on_real_documents(spark, sf_dir, tmp_path):
     fused_rows = _rows(fused)
     assert fused_rows == _rows(staged)
     assert len(fused_rows) > 0
+
+
+def test_curation_degenerate_inputs(spark):
+    """Degenerate corpus/benchmark shapes must flow through, not crash:
+    an empty benchmark flags nothing, a corpus whose every doc fails the
+    gates packs to zero rows, and an all-duplicates corpus keeps exactly
+    one doc."""
+    from pyspark.sql.types import StringType, StructField, StructType, LongType
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    empty = spark.createDataFrame([], schema)
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo foxtrot")], schema
+    )
+    # empty benchmark: nothing is contaminated
+    got = C.drop_contaminated_docs(docs, empty)
+    assert [r["doc_id"] for r in got.collect()] == [1]
+    # every doc gated away -> empty pack table (and no divide-by-zero in
+    # the prefix sum)
+    packs = C.curate_and_pack(docs, empty, min_tokens=100)
+    assert packs.count() == 0
+    # all-duplicates corpus -> single survivor, one pack
+    dups = spark.createDataFrame(
+        [(i, "kilo lima mike november oscar papa") for i in range(5)], schema
+    )
+    packs2 = C.curate_and_pack(dups, empty, min_tokens=3, min_chars=10)
+    rows = packs2.collect()
+    assert len(rows) == 1
+    assert rows[0]["n_docs"] == 1 and rows[0]["first_doc"] == 0
+    # empty corpus end-to-end
+    assert C.curate_and_pack(empty, empty).count() == 0
