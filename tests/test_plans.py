@@ -544,3 +544,40 @@ def test_q162_bm25_topk_plan(spark, sf_dir):
         assert "spark" in sub[filt:gen2], sub[filt:gen2]
     finally:
         tf.unpersist()
+
+
+def test_curation_pipeline_plan_shapes(spark, sf_dir):
+    """The fused curation chain's scale-critical plan shapes (r11):
+    the benchmark's distinct-shingle side of decontamination and the
+    pack stage's block-offset table join as BROADCASTs, while every
+    SortMergeJoin in the plan is a LEFT ANTI drop-list application —
+    the scale-CORRECT shape, because at 100 TB the near-dup loser list
+    and the contaminated-id list are corpus-sized (web corpora dedup
+    away 30-50%), so broadcasting them would be the error this pin
+    guards against in both directions."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sanctum_spark.io import load_table
+    from sanctum_spark.operators.curation import curate_and_pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text")
+    df = curate_and_pack(corpus, bench)
+    df.count()  # AQE-final plan (CC materializes internally either way)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # broadcast sides: bench shingles (decontaminate, x2 plan branches)
+    # + pack block offsets
+    assert plan.count("BroadcastHashJoin") >= 2
+    smj_lines = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert smj_lines, "anti-joins should exist"
+    assert all("LeftAnti" in ln for ln in smj_lines), smj_lines
+    # no Exchange ships a bare text column: the one legitimate
+    # content-bearing shuffle (exact dedup's struct-min) carries it
+    # inside _pick on the digest key; the drop-list anti-join exchanges
+    # ship doc_ids only (the keeper pattern)
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
