@@ -140,7 +140,10 @@ def _detail_target(default_path: str, argv: list[str]) -> tuple[str, str | None]
     cannot judge recoverability and keeps the old overwrite behavior.
     """
     if "--label" in argv:
-        label = argv[argv.index("--label") + 1]
+        idx = argv.index("--label") + 1
+        if idx >= len(argv):
+            raise SystemExit("bench.py: --label requires a value")
+        label = argv[idx]
         if not label.replace("-", "").replace("_", "").isalnum():
             raise SystemExit(f"bench.py: bad --label {label!r}")
         base, ext = os.path.splitext(default_path)

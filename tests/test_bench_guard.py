@@ -108,3 +108,8 @@ def test_outside_git_repo_keeps_old_behavior(tmp_path):
     )
     assert path == str(tmp_path / "BENCH_DETAIL.json")
     assert warning is None
+
+
+def test_label_without_value_rejected(repo):
+    with pytest.raises(SystemExit):
+        _target(repo, ["--label"])
