@@ -207,3 +207,23 @@ def test_curation_degenerate_inputs(spark):
     assert rows[0]["n_docs"] == 1 and rows[0]["first_doc"] == 0
     # empty corpus end-to-end
     assert C.curate_and_pack(empty, empty).count() == 0
+
+
+def test_fused_output_is_layout_invariant(spark):
+    """The pack table must not depend on the corpus's physical layout:
+    prefix sums, LSH banding, CC labels, and containment are all
+    value-determined, so 1-partition and 7-partition inputs (and a
+    reversed input order) must produce identical packs — the invariance
+    that makes the pipeline's output reproducible across cluster sizes
+    and input splits at 100 TB."""
+    corpus, bench = _planted_docs(spark)
+    base = _rows(C.curate_and_pack(corpus, bench, **PARAMS))
+    one = _rows(C.curate_and_pack(corpus.repartition(1), bench, **PARAMS))
+    seven = _rows(C.curate_and_pack(corpus.repartition(7), bench, **PARAMS))
+    rev = _rows(
+        C.curate_and_pack(
+            corpus.orderBy(F.col("doc_id").desc()), bench, **PARAMS
+        )
+    )
+    assert base == one == seven == rev
+    assert base  # non-empty
