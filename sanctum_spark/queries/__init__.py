@@ -82,89 +82,94 @@ def load_all_modules() -> None:
 # 159 (r6 verdict task #6), so the rotation cycles the whole surface every
 # ~3 rounds.
 #
-# Round 11 selection (last-driver-round census over CORRECTNESS_r01-r10:
-# r07x9, r08x50, r09x50, r10x50 - verified at round start; r10 verdict
+# Round 12 selection (last-driver-round census over CORRECTNESS_r01-r11:
+# r08x9, r09x50, r10x50, r11x50 - verified at round start; r11 verdict
 # task #1 orders this rotation explicitly):
-#   1. the 9 r7-era rows deferred by the r10 rotation (named in the r10
-#      verdict): q53 (string fns), q58 (sort-merge hint), q60 (topic
-#      routing), q80-q85 (spell/UDF execution-tier family) - four rounds
-#      since their last external check, now the staleness floor;
-#   2. 41 of the 50 r08-era queries.  All 50 tie on staleness, so the
+#   1. the 9 r8-era rows deferred by the r11 rotation (named in the r11
+#      verdict): q74/q75/q78/q94/q119/q121/q129/q143 (the rows-only
+#      approximate families) plus q99_dedup_clusters - four rounds since
+#      their last external check, now the staleness floor;
+#   2. 41 of the 50 r09-era queries.  All 50 tie on staleness, so the
 #      standing tie-break applies: defer the 9 with the strongest
-#      independent in-suite evidence, which here are the rows-only
-#      approximate families whose driver check is weakest anyway (the
-#      driver can only count rows for them) and which each carry
-#      independent model/accuracy/determinism pins plus a dedicated fuzz
-#      family: q74 (MinHash-LSH, family B + six-octave slope series),
-#      q75 (SimHash, family C + pigeonhole pins), q78/q94/q119
-#      (SRP-LSH / IVF / PQ ANN, numpy fuzz family D), q121 (cross-corpus
-#      near-dup, family G), q129 (BPE vocab, family L), q143 (zlib
-#      compression ratio, direct-zlib pins), plus q99_dedup_clusters,
-#      whose production MinHash-edge composition got a fresh suite-level
-#      output pin in r10 (tests/test_operators.py:1844) and family-N
-#      coverage.  Rotating oracle-paired rows in ahead of rows-only rows
+#      independent in-suite evidence:
+#        - q26_approx_distinct / q87_approx_percentile: the only two
+#          rows-only rows in the r9 cohort (the driver can only count
+#          rows for them) and each carries an in-suite accuracy pin;
+#        - q150/q151/q154/q156 (PSI / chi-square / Benford / power-law):
+#          closed-form edge pins (tests/test_edge_invariants.py:182,253,
+#          276,317 - identical-periods-zero, independence-zero, boundary
+#          digits, perfect-fit R^2=1);
+#        - q153 (DTW): full-matrix-equality + symmetry/band property fuzz
+#          plus a driver-side numpy reference replay
+#          (tests/test_operators.py:1030,1050,1275);
+#        - q155 (weighted reservoir): weight/tie semantics pin + group-
+#          limit plan pin (tests/test_edge_invariants.py:290,
+#          tests/test_plans.py:468);
+#        - q162 (BM25): dedicated parameter-fuzz family K
+#          (tools/param_fuzz.py).
+#      Rotating the remaining oracle-paired rows in ahead of these
 #      maximizes the external evidence the 50 driver slots buy.
-# After this round the staleness floor is r8 with only those 9 rows on
-# it; they are the r12 front-50 seed.
+# After this round the staleness floor is r9 with only those 9 rows on
+# it; they are the r13 front-50 seed.
 # The FULL registry is still verified every round locally via
 # ``tools/verify_local.py`` (driver-strength string compare since r6),
 # so rotation never substitutes for whole-surface checking.
 VERIFY_FIRST: list[str] = [
-    # --- 1. last driver row r07 (stalest external evidence) ---
-    "q53_string_functions",
-    "q58_sort_merge_hint",
-    "q60_topic_routing",
-    "q80_spell_cast",
-    "q81_spell_loop",
-    "q82_spell_cast_vectorized",
-    "q83_grouped_agg_udf",
-    "q84_spell_fanout_udtf",
-    "q85_grouped_map_normalize",
-    # --- 2. r08-era: joins / relational ---
-    "q44_full_outer",
-    "q45_right_join",
-    "q97_map_functions",
-    "q98_hll_mergeable",
-    "q111_cdc_upsert",
-    "q112_cohort_retention",
-    "q113_lateral_topk",
-    "q130_binned_range_join",
-    "q133_lateral_udtf",
-    "q138_wow_growth",
-    "q139_active_users",
-    "q148_trailing_range_frame",
-    # --- 2. r08-era: text / dedup / multimodal / similarity ---
-    "q77_text_profile",
-    "q79_embedding_neardup",
-    "q90_multimodal_features",
-    "q142_cross_source_overlap",
-    "q144_segment_dedup",
-    "q146_embedding_clusters",
-    "q159_leakage_free_split",
-    "q161_entity_resolution",
-    # --- 2. r08-era: sampling / mixing / shards ---
-    "q93_stratified_sample",
-    "q117_group_sample",
-    "q124_train_shards",
-    "q125_quality_classifier",
-    "q126_weighted_sample",
-    "q127_domain_mix",
-    "q158_quality_keeper",
-    # --- 2. r08-era: profiling / validation / layout ---
-    "q95_funnel",
-    "q116_winsorize",
-    "q118_histogram",
-    "q128_zorder_key",
-    "q132_column_stats",
-    "q134_key_skew",
-    "q135_ewma",
-    "q136_referential_integrity",
-    "q137_time_gaps",
-    "q140_session_sequences",
-    "q145_mad_outliers",
-    "q147_heavy_hitters",
-    "q152_cep_pattern",
-    "q160_corpus_datasheet",
+    # --- 1. last driver row r08 (stalest external evidence) ---
+    "q74_minhash_lsh_pairs",
+    "q75_simhash_pairs",
+    "q78_ann_lsh_topk",
+    "q94_ann_ivf",
+    "q99_dedup_clusters",
+    "q119_pq_ann",
+    "q121_cross_corpus_neardup",
+    "q129_bpe_vocab",
+    "q143_compression_ratio",
+    # --- 2. r09-era: TPC-H relational core ---
+    "q01_pricing_summary",
+    "q02_distinct_counts",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q20_topk_per_group",
+    "q27_cust_order_distribution",
+    "q28_above_avg_no_orders",
+    "q29_min_cost_supplier",
+    "q35_returned_revenue",
+    "q36_important_parts",
+    "q37_ship_delay_buckets",
+    "q38_excess_volume_suppliers",
+    "q39_last_shipper",
+    # --- 2. r09-era: grouping / set / reshape ---
+    "q30_rollup",
+    "q31_cube",
+    "q32_grouping_sets",
+    "q34_unpivot",
+    "q40_set_ops",
+    # --- 2. r09-era: scalar / array / map / subquery surface ---
+    "q50_scalar_functions",
+    "q51_date_functions",
+    "q54_array_functions",
+    "q59_scalar_subquery",
+    "q66_exists_sql",
+    "q68_regexp_extract",
+    "q69_date_arithmetic",
+    "q96_array_higher_order",
+    "q103_map_zip_with",
+    # --- 2. r09-era: joins / incremental / pipeline ---
+    "q13_range_join",
+    "q88_user_correlation",
+    "q131_incremental_agg",
+    "q141_mix_entropy",
+    "q149_scd2_intervals",
+    "q157_shard_manifest",
+    "q163_k_anonymity",
+    "q164_l_diversity",
 ]
 
 
