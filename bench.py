@@ -144,6 +144,9 @@ def _detail_target(default_path: str, argv: list[str]) -> tuple[str, str | None]
         if idx >= len(argv):
             raise SystemExit("bench.py: --label requires a value")
         label = argv[idx]
+        if label.startswith("-"):
+            # "--label --force-detail" must not silently eat the next flag.
+            raise SystemExit(f"bench.py: --label requires a value, got {label!r}")
         if not label.replace("-", "").replace("_", "").isalnum():
             raise SystemExit(f"bench.py: bad --label {label!r}")
         base, ext = os.path.splitext(default_path)
@@ -174,7 +177,14 @@ def _detail_target(default_path: str, argv: list[str]) -> tuple[str, str | None]
     if clean:
         return default_path, None
     base, ext = os.path.splitext(default_path)
+    # Uniquify: two consecutive guarded runs must not silently overwrite the
+    # first diverted record (that would recreate, one hop removed, the loss
+    # class this guard exists to end).
     diverted = f"{base}.unsaved{ext}"
+    n = 2
+    while os.path.exists(diverted):
+        diverted = f"{base}.unsaved-{n}{ext}"
+        n += 1
     return diverted, (
         f"# {rel} has uncommitted content (not recoverable from git HEAD); "
         f"detail diverted to {os.path.basename(diverted)}. Commit the file, "

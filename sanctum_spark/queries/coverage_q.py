@@ -187,6 +187,11 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
             share = pd.arrays.IntegerArray(
                 np.where(null_mask, 0, share_rep).astype("int64"), null_mask
             )
+            # event_id is a non-null key in the fixtures, but a nullable
+            # arrival through Arrow delivers float64-with-NaN and the raw
+            # int64 cast is undefined — fail loudly instead of emitting
+            # garbage ids.
+            assert pdf["event_id"].notna().all(), "NULL event_id in batch"
             event_id = (
                 pdf["event_id"].to_numpy(dtype="int64")[keep][row_idx]
                 if row_idx.size

@@ -113,3 +113,29 @@ def test_outside_git_repo_keeps_old_behavior(tmp_path):
 def test_label_without_value_rejected(repo):
     with pytest.raises(SystemExit):
         _target(repo, ["--label"])
+
+
+def test_label_followed_by_flag_rejected(repo):
+    # "--label --force-detail" must not eat the flag as the label value
+    # (dashes are stripped before the isalnum check, so without an explicit
+    # leading-dash rejection this would write BENCH_DETAIL.--force-detail.json
+    # and silently drop the force behavior).
+    with pytest.raises(SystemExit):
+        _target(repo, ["--label", "--force-detail"])
+
+
+def test_consecutive_diverts_do_not_overwrite_each_other(repo):
+    # Two guarded runs in a row: the second divert must pick a fresh name
+    # instead of clobbering the first diverted record (the loss class the
+    # guard exists to end, one hop removed).
+    (repo / "BENCH_DETAIL.json").write_text('{"driver": "uncommitted"}')
+    first, _ = _target(repo)
+    assert first == str(repo / "BENCH_DETAIL.unsaved.json")
+    (repo / "BENCH_DETAIL.unsaved.json").write_text('{"run": 1}')
+    second, warning = _target(repo)
+    assert second == str(repo / "BENCH_DETAIL.unsaved-2.json")
+    assert warning is not None
+    (repo / "BENCH_DETAIL.unsaved-2.json").write_text('{"run": 2}')
+    third, _ = _target(repo)
+    assert third == str(repo / "BENCH_DETAIL.unsaved-3.json")
+    assert (repo / "BENCH_DETAIL.unsaved.json").read_text() == '{"run": 1}'

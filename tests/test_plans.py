@@ -566,8 +566,13 @@ def test_curation_pipeline_plan_shapes(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text")
     df = curate_and_pack(corpus, bench)
-    df.count()  # AQE-final plan (CC materializes internally either way)
+    # Execute df's OWN QueryExecution — df.count() would run a derived
+    # aggregate Dataset and leave this executedPlan pre-AQE (initial shape),
+    # so the assertions below would never see a runtime join-strategy flip.
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    if "AdaptiveSparkPlan" in plan:
+        assert "isFinalPlan=true" in plan
     # broadcast sides: bench shingles (decontaminate, x2 plan branches)
     # + pack block offsets
     assert plan.count("BroadcastHashJoin") >= 2

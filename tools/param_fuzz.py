@@ -1368,10 +1368,10 @@ def fam_o_curation(spark, rng, seed):
         nonlocal did
         sh = shingles_of(text, shingle_k)
         for _, t in rows:
+            # exact (case-insensitive) repeats are allowed — exact dedup
+            # handles them; only block NEAR-duplicate non-identical text
             if t.lower() != text.lower() and jac(sh, shingles_of(t, shingle_k)) >= nd_thr - 1e-9:
                 return False
-            if t.lower() == text.lower():
-                continue
         rows.append((did, text))
         did += 1
         return True

@@ -103,11 +103,19 @@ def staged(spark, sf_dir, tmp):
 
 
 def plan_signature(df) -> dict[str, int]:
-    """Join-type/Exchange counts from the AQE-final executedPlan (the df
-    must have been executed).  Window-independent: counts plan shape,
-    not timings."""
+    """Join-type/Exchange counts from the AQE-final executedPlan (the df's
+    OWN QueryExecution must have been executed — see _timed_count, which
+    runs that exact plan; ``df.count()`` would execute a derived aggregate
+    Dataset instead and leave this plan pre-AQE, blinding the signature to
+    runtime join-strategy flips, the q05 class this tool exists to catch).
+    Window-independent: counts plan shape, not timings."""
     jdf = df._jdf
     plan = jdf.queryExecution().executedPlan().toString()
+    if "AdaptiveSparkPlan" in plan:
+        assert "isFinalPlan=true" in plan, (
+            "plan_signature read a pre-AQE plan; execute the df's own "
+            "QueryExecution first (e.g. via _timed_count)"
+        )
     sig: dict[str, int] = {}
     for op in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
                "BroadcastNestedLoopJoin", "Exchange", "HashAggregate",
@@ -121,7 +129,11 @@ def plan_signature(df) -> dict[str, int]:
 def _timed_count(make_df) -> tuple[float, int, dict[str, int]]:
     t0 = time.perf_counter()
     df = make_df()
-    n = df.count()
+    # Execute the df's OWN QueryExecution (a JVM-side RDD action on the very
+    # plan plan_signature reads, no rows shipped to Python) so the signature
+    # sees the AQE-final plan; df.count() executes a derived aggregate
+    # Dataset and would leave df's executedPlan at its initial shape.
+    n = df._jdf.queryExecution().executedPlan().execute().count()
     dt = time.perf_counter() - t0
     sig = plan_signature(df)
     return dt, n, sig
