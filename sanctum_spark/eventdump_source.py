@@ -77,24 +77,61 @@ def _encode_line(payload: bytes) -> str:
     return URL_PREFIX + b64
 
 
-def _list_dump_files(path: str, last: str = "", upto: str | None = None) -> list[str]:
+def _shard_of(name: str, num_shards: int) -> int:
+    """Stable file→shard assignment by basename CRC: no coordination, no
+    producer cooperation, and every reader (batch, stream, tailer) computes
+    the identical partition of the file set — which is what makes N tailing
+    readers over ``shard=i/numShards`` provably disjoint and covering."""
+    import zlib
+
+    return zlib.crc32(name.encode("utf-8")) % num_shards
+
+
+def _list_dump_files(
+    path: str,
+    last: str = "",
+    upto: str | None = None,
+    shard: int | None = None,
+    num_shards: int | None = None,
+) -> list[str]:
     """Sorted REGULAR files in a dump dir (dot/underscore-prefixed names are
     hidden — that is what makes staged writer tmp files invisible), filtered
-    to the (last, upto] filename window."""
+    to the (last, upto] filename window and, when sharding is requested, to
+    the basenames whose CRC lands on ``shard`` of ``num_shards``."""
     if not os.path.isdir(path):
         # single-file path: still honor the offset window, else a stream
         # pointed at one file would re-read it every micro-batch
         name = os.path.basename(path)
         if os.path.isfile(path) and name > last and (upto is None or name <= upto):
+            if num_shards and _shard_of(name, num_shards) != (shard or 0):
+                return []
             return [path]
         return []
     names = sorted(f for f in os.listdir(path) if not f.startswith((".", "_")))
+    if num_shards:
+        names = [f for f in names if _shard_of(f, num_shards) == (shard or 0)]
     return [
         p
         for f in names
         if f > last and (upto is None or f <= upto)
         if os.path.isfile(p := os.path.join(path, f))
     ]
+
+
+def _shard_options(options: dict) -> tuple[int | None, int | None]:
+    """Parse/validate the shared ``shard``/``numShards`` reader options."""
+    if "numShards" not in options:
+        if "shard" in options:
+            raise ValueError("sanctum_eventdump: shard requires numShards")
+        return None, None
+    num_shards = int(options["numShards"])
+    shard = int(options.get("shard", "0"))
+    if num_shards < 1 or not (0 <= shard < num_shards):
+        raise ValueError(
+            f"sanctum_eventdump: need 0 <= shard < numShards, "
+            f"got shard={shard} numShards={num_shards}"
+        )
+    return shard, num_shards
 
 
 def _iter_events(path: str):
@@ -123,13 +160,36 @@ class _FilePartition(InputPartition):
 
 
 class EventDumpReader(DataSourceReader):
+    """Partition-parallel batch reader (one input partition per file).
+
+    Window/shard options (all optional, composable):
+
+    - ``after`` / ``upto``: consume only files with ``after < basename
+      <= upto`` — the offset-bookkeeping window that makes the batch
+      reader usable as a SCHEDULED TAILER (streaming/tailing.DumpTailer):
+      under the producer contract (monotone log-roll names, atomic
+      appearance) a (after, upto] window is a stable snapshot even while
+      new files keep arriving, because arrivals sort after ``upto``.
+    - ``shard`` / ``numShards``: consume only the basenames whose CRC
+      lands on this shard — N readers with shard=0..N-1 partition the
+      file set exactly (disjoint + covering, test-pinned).
+    """
+
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("sanctum_eventdump requires a path")
+        self.after = options.get("after", "")
+        self.upto = options.get("upto")
+        self.shard, self.num_shards = _shard_options(options)
 
     def partitions(self):
-        return [_FilePartition(p) for p in _list_dump_files(self.path)]
+        return [
+            _FilePartition(p)
+            for p in _list_dump_files(
+                self.path, self.after, self.upto, self.shard, self.num_shards
+            )
+        ]
 
     def read(self, partition: _FilePartition):
         yield from _iter_events(partition.path)
@@ -234,6 +294,20 @@ class EventDumpStreamReader(SimpleDataSourceStreamReader):
     expected count (the fuzz family M protocol), or set
     ``maxFilesPerTrigger`` to at least the backlog's file count for a
     one-window availableNow drain.
+
+    THROUGHPUT CAVEAT + THE TWO SCALE RECIPES (r11 ladder → r12 recipe):
+    a SimpleDataSourceStreamReader prefetches every micro-batch's rows on
+    the DRIVER, so one stream drains at a serial pure-Python decode rate
+    (~85k rows/s measured).  Both safe scale-out protocols now exist in
+    code (sanctum_spark/streaming/tailing.py, test-pinned equal to the
+    single-stream drain):
+
+    - ``shard``/``numShards`` options (this class + the batch reader):
+      N streams over CRC-disjoint file shards decode in N independent
+      driver-side Python runners — ``tailing.start_sharded_tail``;
+    - batch-on-schedule: ``tailing.DumpTailer`` runs the
+      partition-parallel BATCH reader (1.7-2.0M rows/s) over successive
+      (after, upto] filename windows with durable offset bookkeeping.
     """
 
     def __init__(self, options: dict):
@@ -241,18 +315,23 @@ class EventDumpStreamReader(SimpleDataSourceStreamReader):
         self.max_files = int(options.get("maxFilesPerTrigger", "64"))
         if not self.path:
             raise ValueError("sanctum_eventdump requires a path")
+        self.shard, self.num_shards = _shard_options(options)
 
     def initialOffset(self) -> dict:
         return {"last": ""}
 
     def _read_window(self, last: str, upto: str | None = None) -> list:
         rows = []
-        for path in _list_dump_files(self.path, last, upto):
+        for path in _list_dump_files(
+            self.path, last, upto, self.shard, self.num_shards
+        ):
             rows.extend(_iter_events(path))
         return rows
 
     def read(self, start: dict):
-        files = _list_dump_files(self.path, start.get("last", ""))[: self.max_files]
+        files = _list_dump_files(
+            self.path, start.get("last", ""), None, self.shard, self.num_shards
+        )[: self.max_files]
         if not files:
             return iter([]), start
         end = {"last": os.path.basename(files[-1])}

@@ -40,8 +40,19 @@ for replaying 100 TB.
 
 Usage:
     python tools/eventdump_octaves.py [rounds [dirA dirB ...]]
+    python tools/eventdump_octaves.py --sharded [n_shards [dir [rounds]]]
 Defaults: 3 rounds over .scalefix/sf3.2 and .scalefix/sf6.4.
 Prints one JSON line.
+
+``--sharded`` measures the r12 TAILING RECIPES against the single-stream
+drain on one staged octave rung: (a) one stream (the serial driver
+decoder), (b) n_shards concurrent shard streams (streaming/tailing.
+start_sharded_tail — N independent driver-side Python runners over
+CRC-disjoint file shards), (c) the batch-on-schedule DumpTailer
+(partition-parallel batch reader over (after, upto] windows).  All three
+drain through the same parquet sink shape, interleaved a/b/c per round so
+host drift cancels in the ratios; every drain's delivered row count is
+asserted == staged before its time is accepted.
 """
 
 from __future__ import annotations
@@ -63,7 +74,141 @@ ROWS_PER_FILE = 100_000
 MAX_FILES_PER_TRIGGER = 16
 
 
+def _stage_dump(spark, src_dir: str, work: str, label: str) -> tuple[str, int, int]:
+    """Stage one octave's events table as a log-rolled dump tree."""
+    from pyspark.sql import functions as F
+
+    from sanctum_spark.io import load_table
+
+    stage = os.path.join(work, f"dump_{label}")
+    ev = (
+        load_table(spark, src_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .withColumn("payload", F.lit(None).cast("binary"))
+    )
+    n = ev.count()
+    n_files = max(1, math.ceil(n / ROWS_PER_FILE))
+    ev.repartition(n_files).write.format("sanctum_eventdump").mode(
+        "append"
+    ).save(stage)
+    print(f"# staged {label}: {n} rows, {n_files} files", file=sys.stderr)
+    return stage, n, n_files
+
+
+def sharded_main() -> None:
+    n_shards = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    src = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+        REPO_ROOT, ".scalefix", "sf3.2"
+    )
+    rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    if not os.path.isdir(src):
+        sys.exit(f"missing fixture dir {src} (tools/gen_scale_fixtures.py)")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+
+    from sanctum_spark.eventdump_source import EventDumpDataSource
+    from sanctum_spark.session import get_spark
+    from sanctum_spark.streaming.tailing import DumpTailer, start_sharded_tail
+
+    spark = get_spark("eventdump_sharded")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.dataSource.register(EventDumpDataSource)
+
+    work = tempfile.mkdtemp(prefix="eventdump_sharded_")
+    try:
+        stage, target, n_files = _stage_dump(spark, src, work, "tail")
+
+        def stream_drain(n: int) -> float:
+            """n shard streams → parquet sinks; wall time to full delivery."""
+            run = os.path.join(work, f"run_{uuid.uuid4().hex[:8]}")
+            sink, ck = os.path.join(run, "sink"), os.path.join(run, "ck")
+            qs = start_sharded_tail(
+                spark, stage, n, sink, ck,
+                max_files_per_trigger=MAX_FILES_PER_TRIGGER,
+            )
+            t0 = time.perf_counter()
+            try:
+                deadline = t0 + 3600
+                shard_dirs = [os.path.join(sink, f"shard={i}") for i in range(n)]
+
+                def delivered() -> int:
+                    live = [d for d in shard_dirs if os.path.isdir(d)]
+                    if not live:
+                        return 0
+                    try:
+                        return spark.read.parquet(*live).count()
+                    except Exception:
+                        return 0
+
+                while time.perf_counter() < deadline:
+                    if delivered() >= target:
+                        break
+                    time.sleep(0.2)
+                else:
+                    raise AssertionError("sharded drain timed out")
+                dt = time.perf_counter() - t0
+                got = spark.read.parquet(*shard_dirs).count()
+                assert got == target, (got, target)
+            finally:
+                for q in qs:
+                    q.stop()
+            shutil.rmtree(run, ignore_errors=True)
+            return dt
+
+        def tailer_drain() -> float:
+            """DumpTailer batch-on-schedule: windows of the batch reader."""
+            run = os.path.join(work, f"run_{uuid.uuid4().hex[:8]}")
+            os.makedirs(run)
+            sink = os.path.join(run, "sink")
+            tailer = DumpTailer(
+                stage, os.path.join(run, "offsets.json"),
+                max_files_per_batch=MAX_FILES_PER_TRIGGER,
+            )
+            t0 = time.perf_counter()
+            tailer.drain(
+                spark,
+                lambda df: df.write.mode("append").parquet(sink),
+            )
+            dt = time.perf_counter() - t0
+            got = spark.read.parquet(sink).count()
+            assert got == target, (got, target)
+            shutil.rmtree(run, ignore_errors=True)
+            return dt
+
+        # warm codegen/page cache once per protocol
+        stream_drain(1); stream_drain(n_shards); tailer_drain()
+        singles, shards, tails = [], [], []
+        for r in range(rounds):
+            singles.append(stream_drain(1))
+            shards.append(stream_drain(n_shards))
+            tails.append(tailer_drain())
+            print(
+                f"# round {r}: single={singles[-1]:.1f}s "
+                f"sharded[{n_shards}]={shards[-1]:.1f}s "
+                f"tailer={tails[-1]:.1f}s",
+                file=sys.stderr,
+            )
+        s1, sn, tb = map(statistics.median, (singles, shards, tails))
+        print(json.dumps({
+            "mode": "sharded",
+            "cpus": os.environ["SPARK_GRAFT_CPUS"],
+            "src": src, "rows": target, "n_files": n_files,
+            "n_shards": n_shards, "rounds": rounds,
+            "single_stream": {"med_sec": round(s1, 2),
+                              "rows_per_sec": int(target / s1)},
+            "sharded_streams": {"med_sec": round(sn, 2),
+                                "rows_per_sec": int(target / sn),
+                                "speedup_vs_single": round(s1 / sn, 2)},
+            "batch_tailer": {"med_sec": round(tb, 2),
+                             "rows_per_sec": int(target / tb),
+                             "speedup_vs_single": round(s1 / tb, 2)},
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--sharded":
+        return sharded_main()
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     dirs = sys.argv[2:] if len(sys.argv) > 2 else [
         os.path.join(REPO_ROOT, ".scalefix", "sf3.2"),
