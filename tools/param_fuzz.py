@@ -1476,6 +1476,112 @@ def fam_o_curation(spark, rng, seed):
     _check(seed, "O_curation", ok, detail)
 
 
+def fam_p_tailing(spark, rng, seed):
+    """Eventdump tailing recipes vs a plain-Python delivery oracle
+    (family P, r12 — streaming/tailing.py).
+
+    Randomizes the dump-tree shape (file count, rows per file), the
+    shard count, the tailer window size, and a crash point, then checks
+    the recipes' delivery contracts exactly:
+
+    - N per-shard DumpTailers (shard=i of numShards=N) deliver, in
+      union, every planted event EXACTLY once (disjoint + covering +
+      no duplicates — a crash-free drain is exactly-once);
+    - a crash-before-commit at a random window replays EXACTLY that
+      window's rows on restart and nothing else (the at-least-once
+      contract: duplicates == the uncommitted window, so an idempotent
+      sink upgrades it to exactly-once);
+    - offsets persist: a tailer recreated from the offset file resumes
+      where the crashed one committed.
+    """
+    import os
+    import tempfile
+
+    from sanctum_spark.codec.msgpack_codec import pack
+    from sanctum_spark.eventdump_source import (
+        EventDumpDataSource,
+        _encode_line,
+    )
+    from sanctum_spark.streaming.tailing import DumpTailer
+
+    spark.dataSource.register(EventDumpDataSource)
+    work = tempfile.mkdtemp(prefix=f"fam_p_{seed}_")
+    d = os.path.join(work, "dumps")
+    os.makedirs(d)
+    n_files = int(rng.integers(3, 11))
+    planted: set[int] = set()
+    next_id = 0
+    for seq in range(n_files):
+        rows = int(rng.integers(5, 31))
+        with open(os.path.join(d, f"dump-{seq:06d}.log"), "w") as fh:
+            for _ in range(rows):
+                fh.write(_encode_line(pack({"event_id": next_id})) + "\n")
+                planted.add(next_id)
+                next_id += 1
+
+    # --- sharded crash-free drain: exactly-once in union ---
+    n_shards = int(rng.integers(2, 6))
+    max_files = int(rng.integers(1, 5))
+    delivered: list[int] = []
+    per_shard: list[set[int]] = []
+    for i in range(n_shards):
+        got: list[int] = []
+        DumpTailer(
+            d, os.path.join(work, f"off_{i}.json"),
+            max_files_per_batch=max_files, shard=i, num_shards=n_shards,
+        ).drain(spark, lambda df, g=got: g.extend(
+            r["event_id"] for r in df.collect()))
+        delivered.extend(got)
+        per_shard.append(set(got))
+    ok_shards = (
+        set(delivered) == planted
+        and len(delivered) == len(planted)  # no duplicates anywhere
+        and all(
+            not (per_shard[i] & per_shard[j])
+            for i in range(n_shards)
+            for j in range(i + 1, n_shards)
+        )
+    )
+
+    # --- crash-before-commit replays exactly the uncommitted window ---
+    off = os.path.join(work, "off_crash.json")
+    seen: list[int] = []
+    t = DumpTailer(d, off, max_files_per_batch=max_files)
+    n_windows_total = -(-n_files // max_files)  # ceil
+    crash_at = int(rng.integers(0, n_windows_total))
+    window_rows: list[int] = []
+    w = 0
+    while (win := t.poll(spark)) is not None:
+        df, upto = win
+        rows = [r["event_id"] for r in df.collect()]
+        seen.extend(rows)
+        if w == crash_at and window_rows == []:
+            window_rows = rows  # crash: no commit, fresh tailer resumes
+            t = DumpTailer(d, off, max_files_per_batch=max_files)
+        else:
+            t.commit(upto)
+        w += 1
+    from collections import Counter
+
+    dup = {k: c for k, c in Counter(seen).items() if c > 1}
+    ok_crash = (
+        set(seen) == planted
+        and sorted(dup) == sorted(window_rows)
+        and all(c == 2 for c in dup.values())
+    )
+    _check(
+        seed, "P_tailing", ok_shards and ok_crash,
+        f"files={n_files} rows={len(planted)} shards={n_shards} "
+        f"mf={max_files} crash_at={crash_at}/{n_windows_total} "
+        f"replayed={len(window_rows)}"
+        + ("" if ok_shards else " SHARDS-BAD")
+        + ("" if ok_crash else f" CRASH-BAD dup={len(dup)}"),
+    )
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> int:
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     from sanctum_spark.session import get_spark
@@ -1501,7 +1607,8 @@ def main() -> int:
         fam_m_eventdump(spark, rng, seed)
         fam_n_pagerank(spark, rng, seed)
         fam_o_curation(spark, rng, seed)
-    print(f"=== {n_seeds} seeds x 15 families, {len(FAIL)} failures")
+        fam_p_tailing(spark, rng, seed)
+    print(f"=== {n_seeds} seeds x 16 families, {len(FAIL)} failures")
     for f in FAIL:
         print("FAIL:", f)
     return 1 if FAIL else 0
