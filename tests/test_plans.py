@@ -579,10 +579,24 @@ def test_curation_pipeline_plan_shapes(spark, sf_dir):
     smj_lines = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
     assert smj_lines, "anti-joins should exist"
     assert all("LeftAnti" in ln for ln in smj_lines), smj_lines
-    # no Exchange ships a bare text column: the one legitimate
-    # content-bearing shuffle (exact dedup's struct-min) carries it
-    # inside _pick on the digest key; the drop-list anti-join exchanges
-    # ship doc_ids only (the keeper pattern)
+    # Text placement in the shuffles (corrected in r12 — the r11 form of
+    # this pin scanned whole Exchange LINES for "text#", which on the
+    # initial plan only ever contained the partitioning expressions, so
+    # it asserted less than its comment claimed; the AQE-final plan
+    # prints output schemas on ReusedExchange lines and exposed the
+    # full picture):
+    # 1. text is NEVER a partitioning KEY — shuffling ON content would
+    #    be the unambiguous scale error;
     for ln in plan.splitlines():
-        if "Exchange hashpartitioning" in ln:
-            assert "text#" not in ln, ln
+        for m in re.finditer(r"hashpartitioning\(([^)]*)\)", ln):
+            assert "text#" not in m.group(1), ln
+    # 2. the corpus rows DO cross exchanges carrying text — that is the
+    #    honest cost of non-broadcastable LeftAnti drops (the drop lists
+    #    are corpus-sized at 100 TB, so the corpus side must co-locate
+    #    by doc_id) — but any such exchange the final plan exposes must
+    #    BE that doc_id co-location (never a second content shuffle on
+    #    some other key), and when AQE shares it between the two drops
+    #    it shows up as a ReusedExchange rather than a repeated one.
+    for ln in plan.splitlines():
+        if "ReusedExchange" in ln and "text#" in ln:
+            assert re.search(r"hashpartitioning\(doc_id#\d+", ln), ln
