@@ -297,6 +297,16 @@ def main() -> None:
         "jvm_spin_ms_start": _jvm_spin_ms(spark),
         "jvm_spin_par_ms_start": _jvm_spin_par_ms(spark),
     }
+    # r12 finding: the JVM start canaries read 1.5-2.8x floor in EVERY
+    # session's first ~30 s (verified with two fresh-session decay probes:
+    # jvm 222->178, par 357->248 over 30 s idle while py sat at floor) —
+    # C2 compiler churn from session startup + the prologue itself, not
+    # host state.  A second, SETTLED start reading after a short idle
+    # makes the start block adjudicable: judge a window by the settled
+    # start + end canaries; the raw start block only bounds the worst case.
+    time.sleep(20)  # decay probe: most of the C2 churn clears by t+15-30s
+    calib["jvm_spin_ms_start_settled"] = _jvm_spin_ms(spark)
+    calib["jvm_spin_par_ms_start_settled"] = _jvm_spin_par_ms(spark)
 
     # best-of-2 per query: the second run reuses compiled codegen and
     # warmed page cache, which is the steady-state number a resident
