@@ -119,13 +119,24 @@ def _list_dump_files(
 
 
 def _shard_options(options: dict) -> tuple[int | None, int | None]:
-    """Parse/validate the shared ``shard``/``numShards`` reader options."""
+    """Parse/validate the shared ``shard``/``numShards`` reader options.
+
+    The pair is required together: ``numShards`` without ``shard`` used
+    to default to shard 0, which silently dropped ~(N-1)/N of the files
+    for a reader that looked fully configured — a silent-data-loss
+    footgun, so both halves now fail loudly."""
     if "numShards" not in options:
         if "shard" in options:
             raise ValueError("sanctum_eventdump: shard requires numShards")
         return None, None
+    if "shard" not in options:
+        raise ValueError(
+            "sanctum_eventdump: numShards requires an explicit shard "
+            "(a defaulted shard=0 would silently read ~1/numShards of "
+            "the files)"
+        )
     num_shards = int(options["numShards"])
-    shard = int(options.get("shard", "0"))
+    shard = int(options["shard"])
     if num_shards < 1 or not (0 <= shard < num_shards):
         raise ValueError(
             f"sanctum_eventdump: need 0 <= shard < numShards, "
@@ -316,9 +327,14 @@ class EventDumpStreamReader(SimpleDataSourceStreamReader):
         if not self.path:
             raise ValueError("sanctum_eventdump requires a path")
         self.shard, self.num_shards = _shard_options(options)
+        # ``after``: start offset for a FRESH checkpoint — a stream
+        # restarted after a re-shard (tailing.reshard_sharded_tail) must
+        # skip the prefix the old shard set already consumed; an existing
+        # checkpoint's offsets always win over this initial value.
+        self.after = options.get("after", "")
 
     def initialOffset(self) -> dict:
-        return {"last": ""}
+        return {"last": self.after}
 
     def _read_window(self, last: str, upto: str | None = None) -> list:
         rows = []

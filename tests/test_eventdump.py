@@ -215,6 +215,10 @@ def test_eventdump_shards_are_disjoint_and_covering(spark, tmp_path):
         ids(shard=3, numShards=3)
     with pytest.raises(Exception):
         ids(shard=1)
+    # numShards without shard used to silently default to shard 0
+    # (reading ~1/N of the files); now it fails loudly
+    with pytest.raises(Exception):
+        ids(numShards=3)
 
 
 def test_dump_tailer_batch_on_schedule_equivalence(spark, tmp_path):
@@ -259,6 +263,195 @@ def test_dump_tailer_batch_on_schedule_equivalence(spark, tmp_path):
 
     with pytest.raises(ValueError):
         t2.commit("dump-000000.log")
+
+
+def test_dump_tailer_validates_shard_pair(tmp_path):
+    """DumpTailer applies the same shard rule as the reader options:
+    the pair comes together and shard is range-checked (a silently
+    ignored or defaulted shard is a data-loss footgun, not a config)."""
+    import pytest
+
+    from sanctum_spark.streaming.tailing import DumpTailer
+
+    d, off = str(tmp_path / "d"), str(tmp_path / "off.json")
+    with pytest.raises(ValueError):
+        DumpTailer(d, off, shard=1)  # shard without num_shards
+    with pytest.raises(ValueError):
+        DumpTailer(d, off, num_shards=4)  # num_shards without shard
+    with pytest.raises(ValueError):
+        DumpTailer(d, off, shard=4, num_shards=4)  # out of range
+    with pytest.raises(ValueError):
+        DumpTailer(d, off, shard=0, num_shards=0)  # degenerate
+    DumpTailer(d, off, shard=3, num_shards=4)  # valid pair is fine
+
+
+def test_dump_tailer_drain_tick_is_bounded(spark, tmp_path):
+    """One drain() tick terminates even when the producer appends files
+    faster than process() consumes them: the file set is snapshotted at
+    tick entry, so mid-drain arrivals roll to the NEXT tick — and
+    max_windows additionally caps a tick for latency-bounded schedulers."""
+    from sanctum_spark.streaming.tailing import DumpTailer
+
+    d = str(tmp_path / "fast")
+    off = str(tmp_path / "offsets.json")
+    spark.dataSource.register(EventDumpDataSource)
+    for seq in range(3):
+        _plant(d, seq, range(seq * 10, seq * 10 + 10))
+
+    seen: list[int] = []
+    next_seq = [3]
+
+    def process(df):
+        # adversarial producer: every window's processing plants one
+        # MORE file — an unbounded tick would chase it forever
+        seen.extend(r["event_id"] for r in df.collect())
+        s = next_seq[0]
+        _plant(d, s, range(s * 10, s * 10 + 10))
+        next_seq[0] += 1
+
+    t = DumpTailer(d, off, max_files_per_batch=1)
+    n = t.drain(spark, process)
+    assert n == 3  # exactly the snapshot at tick entry: files 0-2
+    assert sorted(seen) == list(range(30))
+    # the mid-tick arrivals (files 3-5) are all still pending...
+    n2 = t.drain(spark, lambda df: seen.extend(
+        r["event_id"] for r in df.collect()), max_windows=2)
+    assert n2 == 2  # ...and max_windows caps the second tick at 2
+    assert sorted(seen) == list(range(50))
+    # a final tick finishes the backlog (file 5)
+    while t.drain(spark, lambda df: seen.extend(
+            r["event_id"] for r in df.collect())):
+        pass
+    assert sorted(seen) == list(range(next_seq[0] * 10))
+
+
+def test_reshard_sharded_tail_delivery_equality(spark, tmp_path):
+    """Safe re-sharding N=2 → N′=3 on a GROWING log: stop the old
+    streams mid-backlog, converge each old shard's committed-offset gap
+    through bounded batch catch-up windows, restart at N′ with
+    after=target and fresh sink/checkpoint dirs — the union of old
+    sinks + catch-up + new sinks is exactly every planted row, no loss,
+    no duplicates across the transition."""
+    import time
+
+    from sanctum_spark.streaming.tailing import (
+        committed_stream_offset,
+        reshard_sharded_tail,
+        start_sharded_tail,
+    )
+
+    d = str(tmp_path / "rs")
+    for seq in range(8):
+        _plant(d, seq, range(seq * 10, seq * 10 + 10))
+    spark.dataSource.register(EventDumpDataSource)
+    sink1, ck1 = str(tmp_path / "sink1"), str(tmp_path / "ck1")
+    # maxFilesPerTrigger=1 so the old shards are still mid-backlog when
+    # stopped — the catch-up windows have real work to do
+    queries = start_sharded_tail(
+        spark, d, 2, sink1, ck1, max_files_per_trigger=1
+    )
+    deadline = time.time() + 120
+
+    def read_union(*dirs) -> list[int]:
+        # one read per dir: a single-path read honors the file sink's
+        # _spark_metadata log (multi-path reads bypass it and would see
+        # in-flight part files)
+        out = []
+        for sd in dirs:
+            try:
+                out.extend(
+                    r["event_id"] for r in spark.read.parquet(sd).collect()
+                )
+            except Exception:
+                pass  # sink dir not created yet / empty
+        return out
+
+    old_sinks = [os.path.join(sink1, f"shard={i}") for i in range(2)]
+    while not read_union(*old_sinks) and time.time() < deadline:
+        time.sleep(0.2)
+    # producer keeps going right up to the re-shard
+    for seq in range(8, 10):
+        _plant(d, seq, range(seq * 10, seq * 10 + 10))
+
+    sink2, ck2 = str(tmp_path / "sink2"), str(tmp_path / "ck2")
+    catchup = str(tmp_path / "catchup")
+    new_queries, target = reshard_sharded_tail(
+        spark, d, 2, ck1, 3, sink2, ck2, catchup, queries=queries
+    )
+    try:
+        assert target == "dump-000009.log"
+        # old offsets were mid-backlog (the recipe had a real gap to fill)
+        lasts = [
+            committed_stream_offset(os.path.join(ck1, f"shard={i}"))
+            for i in range(2)
+        ]
+        assert any(last < target for last in lasts)
+        # everything <= target is already exactly-once in old sinks + catch-up
+        pre = read_union(*old_sinks, catchup)
+        assert sorted(pre) == list(range(100))
+        # files arriving AFTER the hand-off go only to the new shard set
+        _plant(d, 10, range(100, 110))
+        new_sinks = [os.path.join(sink2, f"shard={j}") for j in range(3)]
+        while len(read_union(*new_sinks)) < 10 and time.time() < deadline:
+            time.sleep(0.3)
+        assert sorted(read_union(*new_sinks)) == list(range(100, 110))
+        assert sorted(read_union(*old_sinks, catchup, *new_sinks)) == list(
+            range(110)
+        )
+    finally:
+        for q in new_queries:
+            q.stop()
+
+
+def test_reshard_tailers_delivery_equality(spark, tmp_path):
+    """Safe re-sharding for per-shard DumpTailers (2 → 3): converge the
+    old tailers to the common target via bounded drains, seed the new
+    offset files at target — delivery across the transition is exactly
+    once, and new files go only to the new shard set."""
+    from sanctum_spark.streaming.tailing import DumpTailer, reshard_tailers
+
+    d = str(tmp_path / "rt")
+    spark.dataSource.register(EventDumpDataSource)
+    for seq in range(6):
+        _plant(d, seq, range(seq * 10, seq * 10 + 10))
+
+    seen: list[int] = []
+
+    def process(df):
+        seen.extend(r["event_id"] for r in df.collect())
+
+    old = [
+        DumpTailer(
+            d, str(tmp_path / f"off_old_{i}.json"),
+            max_files_per_batch=1, shard=i, num_shards=2,
+        )
+        for i in range(2)
+    ]
+    # leave the old set mid-backlog: at most 2 windows each
+    for t in old:
+        t.drain(spark, process, max_windows=2)
+    assert 0 < len(seen) < 60
+    new_offsets = [str(tmp_path / f"off_new_{j}.json") for j in range(3)]
+    new = reshard_tailers(spark, d, old, new_offsets, process)
+    # converged: every pre-hand-off row delivered exactly once
+    assert sorted(seen) == list(range(60))
+    assert all(t.last() == "dump-000005.log" for t in new)
+    # post-hand-off files land only in the new set, disjoint across shards
+    _plant(d, 6, range(60, 70))
+    _plant(d, 7, range(70, 80))
+    per_new = []
+    for t in new:
+        got: list[int] = []
+        t.drain(spark, lambda df, g=got: g.extend(
+            r["event_id"] for r in df.collect()))
+        per_new.append(got)
+    flat = [x for g in per_new for x in g]
+    assert sorted(flat) == list(range(60, 80))
+    # seeding refuses to clobber an existing offset file
+    import pytest
+
+    with pytest.raises(ValueError):
+        reshard_tailers(spark, d, new, new_offsets, process)
 
 
 def test_sharded_tail_streams_equal_single_drain(spark, tmp_path):
