@@ -253,6 +253,56 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _window_quality(calib: dict, cpus: int) -> str:
+    """Derived window verdict (r12 verdict task #6): classify the run's
+    host window from its OWN canaries — ``ok`` / ``degraded-start`` /
+    ``degraded-end`` / ``degraded`` — so driver artifacts self-classify
+    and cross-round tooling stops re-interpreting raw spin-milliseconds.
+
+    A block is degraded when its parallel canary exceeds 2.0x its ideal
+    (the same-block single-core jvm spin x max(1, 32/cpus) — perfect
+    scaling of the fixed 32-task work; the single spin in the same block
+    normalizes out CPU-frequency differences between hosts/windows), or
+    its py spin exceeds 190 ms (quiet band 90-125 ms, EVIDENCE_r9).
+    The start block prefers the SETTLED canaries (session-start C2
+    compiler churn clears by t+20 s, r12 decay probes); the end block
+    uses the end canaries.  Threshold calibration against judged
+    history: quiet windows read par/jvm 1.5-1.8x (r12-quiet end
+    167.6/95.6 = 1.75), degraded co-tenant windows 2.4x+ (r12 driver
+    end 256.2/107.1 = 2.39; r11 detail end 233.2/93.4 = 2.50, judged
+    never-quiet), so 2.0x separates the observed classes with margin.
+    Missing par keys (pre-r11 artifacts) fall back to the py canary
+    alone."""
+    ideal_scale = max(1.0, 32.0 / max(cpus, 1))
+
+    def block_degraded(py, jvm, par) -> bool:
+        if py is not None and py > 190.0:
+            return True
+        if par is not None and jvm:
+            return par > 2.0 * jvm * ideal_scale
+        return False
+
+    start_bad = block_degraded(
+        calib.get("py_spin_ms_start"),
+        calib.get("jvm_spin_ms_start_settled", calib.get("jvm_spin_ms_start")),
+        calib.get(
+            "jvm_spin_par_ms_start_settled", calib.get("jvm_spin_par_ms_start")
+        ),
+    )
+    end_bad = block_degraded(
+        calib.get("py_spin_ms_end"),
+        calib.get("jvm_spin_ms_end"),
+        calib.get("jvm_spin_par_ms_end"),
+    )
+    if start_bad and end_bad:
+        return "degraded"
+    if start_bad:
+        return "degraded-start"
+    if end_bad:
+        return "degraded-end"
+    return "ok"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -350,6 +400,9 @@ def main() -> None:
     calib["py_spin_ms_end"] = _py_spin_ms()
     calib["jvm_spin_ms_end"] = _jvm_spin_ms(spark)
     calib["jvm_spin_par_ms_end"] = _jvm_spin_par_ms(spark)
+    calib["window_quality"] = _window_quality(
+        calib, spark.sparkContext.defaultParallelism
+    )
     if expr_stats is not None:
         calib["expr_tier"] = expr_stats
 

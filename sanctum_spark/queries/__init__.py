@@ -82,94 +82,89 @@ def load_all_modules() -> None:
 # 159 (r6 verdict task #6), so the rotation cycles the whole surface every
 # ~3 rounds.
 #
-# Round 12 selection (last-driver-round census over CORRECTNESS_r01-r11:
-# r08x9, r09x50, r10x50, r11x50 - verified at round start; r11 verdict
-# task #1 orders this rotation explicitly):
-#   1. the 9 r8-era rows deferred by the r11 rotation (named in the r11
-#      verdict): q74/q75/q78/q94/q119/q121/q129/q143 (the rows-only
-#      approximate families) plus q99_dedup_clusters - four rounds since
-#      their last external check, now the staleness floor;
-#   2. 41 of the 50 r09-era queries.  All 50 tie on staleness, so the
+# Round 13 selection (last-driver-round census over CORRECTNESS_r01-r12:
+# r09x9, r10x50, r11x50, r12x50 - recomputed at round start and matching
+# the r12 verdict's census exactly; r12 verdict task #1 orders this
+# rotation explicitly):
+#   1. the 9 rows the r12 rotation deferred, now alone on the r9
+#      staleness floor: q26/q87 (the rows-only approx pair) and
+#      q150/q151/q153/q154/q155/q156/q162 (the closed-form-pinned
+#      statistical validators + DTW + weighted reservoir + BM25);
+#   2. 41 of the 50 r10-era queries.  All 50 tie on staleness, so the
 #      standing tie-break applies: defer the 9 with the strongest
-#      independent in-suite evidence:
-#        - q26_approx_distinct / q87_approx_percentile: the only two
-#          rows-only rows in the r9 cohort (the driver can only count
-#          rows for them) and each carries an in-suite accuracy pin;
-#        - q150/q151/q154/q156 (PSI / chi-square / Benford / power-law):
-#          closed-form edge pins (tests/test_edge_invariants.py:182,253,
-#          276,317 - identical-periods-zero, independence-zero, boundary
-#          digits, perfect-fit R^2=1);
-#        - q153 (DTW): full-matrix-equality + symmetry/band property fuzz
-#          plus a driver-side numpy reference replay
-#          (tests/test_operators.py:1030,1050,1275);
-#        - q155 (weighted reservoir): weight/tie semantics pin + group-
-#          limit plan pin (tests/test_edge_invariants.py:290,
-#          tests/test_plans.py:468);
-#        - q162 (BM25): dedicated parameter-fuzz family K
-#          (tools/param_fuzz.py).
-#      Rotating the remaining oracle-paired rows in ahead of these
-#      maximizes the external evidence the 50 driver slots buy.
-# After this round the staleness floor is r9 with only those 9 rows on
-# it; they are the r13 front-50 seed.
+#      independent in-suite evidence, favoring rows whose operators are
+#      also exercised by fuzz families or byte-identity pins:
+#        - q70_exact_dedup / q91_ngram_jaccard: bit-identity fuzz
+#          families A/G (tools/param_fuzz.py) re-run every round;
+#        - q71_text_stats / q72_lang_quality / q76_quality_profile /
+#          q92_corpus_clean: pure JVM expression pipelines whose scalar
+#          kernels are covered by the r10-era oracle rows AND the fused-
+#          pipeline equality suite (fuzz family O);
+#        - q73_cosine_topk: numpy-replay fuzz family D;
+#        - q86_event_sequence: stream-stream-join-equals-batch-CEP pin
+#          (tests/test_streaming_joins.py:32);
+#        - q89_dispersion: degenerate-group closed-form pin
+#          (tests/test_edge_invariants_b8.py:48) + boundary family
+#          (tests/test_edge_invariants_b13.py:72).
+#      Those 9 roll to the r14 front-50 seed (then on the r10 floor).
 # The FULL registry is still verified every round locally via
 # ``tools/verify_local.py`` (driver-strength string compare since r6),
 # so rotation never substitutes for whole-surface checking.
 VERIFY_FIRST: list[str] = [
-    # --- 1. last driver row r08 (stalest external evidence) ---
-    "q74_minhash_lsh_pairs",
-    "q75_simhash_pairs",
-    "q78_ann_lsh_topk",
-    "q94_ann_ivf",
-    "q99_dedup_clusters",
-    "q119_pq_ann",
-    "q121_cross_corpus_neardup",
-    "q129_bpe_vocab",
-    "q143_compression_ratio",
-    # --- 2. r09-era: TPC-H relational core ---
-    "q01_pricing_summary",
-    "q02_distinct_counts",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q20_topk_per_group",
-    "q27_cust_order_distribution",
-    "q28_above_avg_no_orders",
-    "q29_min_cost_supplier",
-    "q35_returned_revenue",
-    "q36_important_parts",
-    "q37_ship_delay_buckets",
-    "q38_excess_volume_suppliers",
-    "q39_last_shipper",
-    # --- 2. r09-era: grouping / set / reshape ---
-    "q30_rollup",
-    "q31_cube",
-    "q32_grouping_sets",
-    "q34_unpivot",
-    "q40_set_ops",
-    # --- 2. r09-era: scalar / array / map / subquery surface ---
-    "q50_scalar_functions",
-    "q51_date_functions",
-    "q54_array_functions",
-    "q59_scalar_subquery",
-    "q66_exists_sql",
-    "q68_regexp_extract",
-    "q69_date_arithmetic",
-    "q96_array_higher_order",
-    "q103_map_zip_with",
-    # --- 2. r09-era: joins / incremental / pipeline ---
-    "q13_range_join",
-    "q88_user_correlation",
-    "q131_incremental_agg",
-    "q141_mix_entropy",
-    "q149_scd2_intervals",
-    "q157_shard_manifest",
-    "q163_k_anonymity",
-    "q164_l_diversity",
+    # --- 1. last driver row r09 (stalest external evidence) ---
+    "q26_approx_distinct",
+    "q87_approx_percentile",
+    "q150_psi_drift",
+    "q151_chi2_independence",
+    "q153_dtw_similarity",
+    "q154_benford_digits",
+    "q155_weighted_reservoir",
+    "q156_powerlaw_fit",
+    "q162_bm25_topk",
+    # --- 2. r10-era: relational / join / scalar core ---
+    "q06_revenue_filter",
+    "q10_semi_join",
+    "q11_anti_join",
+    "q12_outer_join_fill",
+    "q14_promo_revenue",
+    "q17_small_quantity",
+    "q18_big_orders",
+    "q19_disjunctive",
+    "q21_window_running",
+    "q22_lag_lead",
+    "q23_rank_family",
+    "q24_first_last",
+    "q25_percentiles",
+    "q33_explode_positions",
+    "q41_except_union",
+    "q42_union_by_name",
+    "q43_array_manipulation",
+    "q52_sort_limit",
+    "q55_null_functions",
+    "q57_self_join",
+    "q61_json_props",
+    "q63_asof_join",
+    # --- 2. r10-era: events / streaming-adjacent ---
+    "q62_sessionize",
+    "q64_tumbling_window",
+    "q65_event_pivot",
+    "q67_props_as_map",
+    # --- 2. r10-era: pipeline / curation / training-data ---
+    "q100_hypertable_rollup",
+    "q101_vocab_bigrams",
+    "q102_salted_join_agg",
+    "q104_decontamination",
+    "q105_repetition_filter",
+    "q106_tfidf_terms",
+    "q107_regression_aggs",
+    "q108_sequence_packing",
+    "q109_cooccurrence",
+    "q110_context_chunks",
+    "q114_textrank_keywords",
+    "q115_fuzzy_vocab",
+    "q120_incremental_dedup",
+    "q122_lm_score",
+    "q123_pii_scrub",
 ]
 
 

@@ -139,3 +139,66 @@ def test_consecutive_diverts_do_not_overwrite_each_other(repo):
     third, _ = _target(repo)
     assert third == str(repo / "BENCH_DETAIL.unsaved-3.json")
     assert (repo / "BENCH_DETAIL.unsaved.json").read_text() == '{"run": 1}'
+
+
+# --- derived window_quality verdict (r12 verdict task #6) -----------------
+
+
+def test_window_quality_matches_judged_history():
+    """bench._window_quality must reproduce the judge's window calls on
+    the committed calibration artifacts: the r10/r12 quiet details are
+    ``ok``, the r12 driver bench and the r11 detail are ``degraded-end``
+    (par canary 2.4-2.5x its same-block single spin)."""
+    import json
+    import os
+
+    from bench import _window_quality
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def verdict(rel: str) -> str:
+        d = json.load(open(os.path.join(root, rel)))
+        return _window_quality(d["calibration"], int(d.get("cpus") or 32))
+
+    assert verdict("tools/bench_r10_quiet.json") == "ok"
+    assert verdict("BENCH_DETAIL.r12-quiet.json") == "ok"
+    # the r12 driver window (committed as BENCH_DETAIL.json @ r12 close)
+    # self-flagged: par end 256.2 ms vs jvm single 107.1 -> 2.39x
+    assert verdict("BENCH_DETAIL.json") == "degraded-end"
+    assert verdict("BENCH_DETAIL.r11-quiet.json") == "degraded-end"
+
+
+def test_window_quality_blocks_and_fallbacks():
+    """Classifier unit pins: settled start keys preferred over raw start,
+    cpus scaling of the parallel ideal, py-only fallback when par keys
+    are absent, and the four verdict values."""
+    from bench import _window_quality
+
+    quiet = {
+        "py_spin_ms_start": 100.0, "py_spin_ms_end": 100.0,
+        "jvm_spin_ms_start": 300.0,          # raw start: C2 churn...
+        "jvm_spin_par_ms_start": 900.0,      # ...3x — would read degraded
+        "jvm_spin_ms_start_settled": 100.0,  # settled: at floor
+        "jvm_spin_par_ms_start_settled": 150.0,
+        "jvm_spin_ms_end": 100.0, "jvm_spin_par_ms_end": 150.0,
+    }
+    assert _window_quality(quiet, 32) == "ok"
+    # without the settled keys the same raw start reads degraded-start
+    raw = {k: v for k, v in quiet.items() if "settled" not in k}
+    assert _window_quality(raw, 32) == "degraded-start"
+    # a co-tenant eating cores at the end: par 2.5x single
+    end_bad = dict(quiet, jvm_spin_par_ms_end=250.0)
+    assert _window_quality(end_bad, 32) == "degraded-end"
+    assert _window_quality(dict(raw, jvm_spin_par_ms_end=250.0), 32) == (
+        "degraded"
+    )
+    # on 8 cpus the 32-task ideal is 4x the single spin, not 1x
+    assert _window_quality(dict(quiet, jvm_spin_par_ms_end=500.0), 8) == "ok"
+    assert _window_quality(dict(quiet, jvm_spin_par_ms_end=900.0), 8) == (
+        "degraded-end"
+    )
+    # pre-r11 artifact (no par keys): py canary alone decides
+    legacy = {"py_spin_ms_start": 100.0, "py_spin_ms_end": 200.0,
+              "jvm_spin_ms_start": 100.0, "jvm_spin_ms_end": 100.0}
+    assert _window_quality(legacy, 32) == "degraded-end"
+    assert _window_quality(dict(legacy, py_spin_ms_end=100.0), 32) == "ok"

@@ -361,6 +361,23 @@ def main() -> None:
             seed=SEED + 7,
         )
         targets.append("sf25.6")
+    # tenth octave (opt-in: --octave10, implies sf25.6 exists): sf51.2 =
+    # double(sf25.6) — 512x the bench SF, lineitem 307.2M rows, ~12 GB.
+    # Exists for the r12 verdict's task #4: hold the fused curation
+    # pipeline's slope (1.68x/doubling at sf25.6) one more octave with
+    # the standard AQE-final signature diff.
+    if "--octave10" in sys.argv:
+        _require_octave("--octave10", f"{OUT}/sf25.6", "--octave9")
+        for t in DIMS + ["orders", "lineitem", "events", "documents", "embeddings"]:
+            con.execute(
+                f"CREATE VIEW d256_{t} AS SELECT * FROM "
+                f"read_parquet('{OUT}/sf25.6/{t}.parquet')"
+            )
+        gen_double(
+            con, dst_name="sf51.2", prefix="d256", src_dir=f"{OUT}/sf25.6",
+            seed=SEED + 8,
+        )
+        targets.append("sf51.2")
     for sf in targets:
         sizes = {
             t: pq.read_metadata(f"{OUT}/{sf}/{t}.parquet").num_rows
