@@ -222,23 +222,29 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 optimization (guide §4.1): the original grouped-map
+    # applyInPandas shipped EVERY event row JVM->Python->JVM
+    # (FlatMapGroupsInPandas) just to compute a per-group mean/stddev —
+    # the z-score is expressible as unbounded window aggregates, which
+    # run inside whole-stage codegen on the same single user_id
+    # exchange.  Semantics preserved exactly (oracle is this window
+    # form): avg/stddev_samp skip NULLs like pandas mean/std skip NaN;
+    # a single-row group's stddev_samp is NULL (pandas NaN -> both NaN
+    # under the driver hash); try_divide maps the all-equal-group 0/0
+    # to NULL where pandas produced NaN (ANSI mode would otherwise
+    # raise DIVIDE_BY_ZERO).  The grouped-map surface itself stays
+    # covered by tests/test_operators.py and the q83 grouped-agg UDAF.
+    from pyspark.sql import Window as W
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
-    schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_id", T.LongType()),
-            T.StructField("value_z", T.DoubleType()),
-        ]
+    w = W.partitionBy("user_id")
+    z = F.try_divide(
+        F.col("value") - F.avg("value").over(w),
+        F.stddev_samp("value").over(w),
     )
-
-    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["value"]
-        z = (v - v.mean()) / v.std()  # ddof=1 == stddev_samp
-        out = pdf[["user_id", "event_id"]].copy()
-        out["value_z"] = (z + 1e-9).round(5)
-        return out
-
-    return ev.groupBy("user_id").applyInPandas(normalize, schema=schema)
+    return ev.select(
+        "user_id", "event_id", stable_round(z, 5).alias("value_z")
+    )
 
 
 @register(

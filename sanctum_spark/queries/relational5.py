@@ -248,17 +248,23 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     sp = li.groupBy("l_suppkey", "l_partkey").agg(
         F.sum("l_quantity").alias("supp_qty")
     )
-    pt = sp.groupBy("l_partkey").agg(
-        F.sum("supp_qty").alias("part_qty"),
-        F.count(F.lit(1)).alias("n_supps"),
-    )
+    # r13 optimization (guide §2.4): the part-level totals are unbounded
+    # window aggregates over sp partitioned by l_partkey — same values
+    # as the former groupBy(l_partkey) + self-join (SUM/COUNT over
+    # exactly the same rows; quantity sums are integral doubles, exact),
+    # but the join and its second evaluation of sp disappear: one
+    # exchange by partkey feeds the window directly.
+    wp = W.partitionBy("l_partkey")
     return (
-        sp.join(pt, "l_partkey")
+        sp.withColumn("part_qty", F.sum("supp_qty").over(wp))
+        .withColumn("n_supps", F.count(F.lit(1)).over(wp))
         .filter(
             F.col("supp_qty") > F.lit(2.0) * F.col("part_qty") / F.col("n_supps")
         )

@@ -30,7 +30,6 @@ PYTHON_NODE_OK = {
     "q81_spell_loop": "feedback-loop spell (O7) runs per event in-task",
     "q82_spell_cast_vectorized": "vectorized spell path (Arrow mapInPandas)",
     "q84_spell_fanout_udtf": "1->N spell fanout (N:M events, SURVEY 2.2)",
-    "q85_grouped_map_normalize": "grouped-map UDF coverage op (SQL closed form is the production path, oracle-checked)",
     "q90_multimodal_features": "binary media decode has no SQL form (pure-Python codecs)",
     "q94_ann_ivf": "IVF assignment is a measured Arrow numpy kernel (beat the Catalyst variant)",
     "q129_bpe_vocab": "BPE tokenization is inherently iterative per word (Arrow kernel, memoized)",
