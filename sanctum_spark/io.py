@@ -96,6 +96,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Fan a derivation-heavy small scan out to the session's parallelism.
+
+    Parquet is unsplittable below one row group, so a scan of a
+    single-row-group file runs as ONE task — and any expensive per-row
+    derivation Catalyst fuses into that scan stage (shingling,
+    tokenization, n-gram explode, MinHash) serializes on one core before
+    its first shuffle.  A round-robin repartition to defaultParallelism
+    moves that work onto every core for the price of shuffling the
+    (small) base table once.
+
+    Scale-adaptive by construction: when the scan already carries at
+    least defaultParallelism partitions (multi-row-group / multi-file
+    tables at production scale), this is a no-op and no exchange is
+    added — so it never degenerates into a full-corpus reshuffle at
+    100 TB.  Apply it only where the per-row derivation is the measured
+    cost (r13: q74/q99/q109/q122/q142/q158); for cheap projections the
+    added exchange is a pure loss.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def read_source(
     spark: SparkSession,
     path: str,

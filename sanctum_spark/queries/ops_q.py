@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sanctum_spark.io import load_table
+from sanctum_spark.io import load_table, spread_scan
 from sanctum_spark.operators import dedup as D
 from sanctum_spark.operators import multimodal as M
 from sanctum_spark.operators import similarity as S
@@ -30,7 +30,7 @@ from sanctum_spark.queries import register
     ),
 )
 def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return D.minhash_near_duplicates(
         docs, "text", "doc_id", n_hashes=16, bands=4, shingle_k=3, threshold=0.5
     ).orderBy("id_a", "id_b")

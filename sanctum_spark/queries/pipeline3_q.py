@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sanctum_spark.io import load_table
+from sanctum_spark.io import load_table, spread_scan
 from sanctum_spark.queries import register
 from sanctum_spark.queries.util import stable_round
 
@@ -179,7 +179,7 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctum_spark.operators.text import ngram_lm_score, ngram_lm_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     table = ngram_lm_table(docs.filter(F.col("doc_id") % 5 != 0), "text", n=3)
     held_out = docs.filter(F.col("doc_id") % 5 == 0)
     out = ngram_lm_score(held_out, table, "text", "doc_id", n=3, alpha=0.5)

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from sanctum_spark.io import load_table, parquet_row_count
+from sanctum_spark.io import load_table, parquet_row_count, spread_scan
 from sanctum_spark.operators.dedup import hashed_word_windows
 from sanctum_spark.queries import register
 from sanctum_spark.queries.util import stable_round
@@ -1132,7 +1132,7 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from sanctum_spark.operators.text import quality_logit_score
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     # prefix_filter="auto": corpus-grain candidate stage — same
     # cost-based rationale as q99 (naive 3.77x vs prefix 2.03x per
     # doubling at the third octave, r7 paired A/B; naive's lower fixed
