@@ -412,17 +412,40 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
         )
         .agg(
-            # Pearson corr as try_divide(covar_pop, sx*sy): mathematically
-            # identical to corr() (the 1/n factors cancel) but degenerate
-            # series (n=1 or zero variance) yield NULL instead of an ANSI
-            # DIVIDE_BY_ZERO — which matches DuckDB corr's NULL semantics.
-            # F.corr here is an ANSI landmine: a count()-only action
-            # prunes it (so benches pass), then any plan that actually
-            # evaluates it explodes on the first degenerate pair.
+            # Pearson corr from RAW INTEGER MOMENTS (r13, guide §2.3
+            # "narrower types / aggregate before you shuffle"): v is an
+            # exact BIGINT (e3 grain), so count/sum/sum-of-products are
+            # exact integer partials — 6 narrow buffers instead of the
+            # 11 doubles covar_pop + 2x stddev_pop carry, and the only
+            # float rounding is the final closed form, so the result is
+            # summation-order-independent (stronger than the Welford
+            # buffers it replaces, not just equal: interleaved paired
+            # A/B diff rows 0/0 at sf0.1, median pair ratio 0.91, and
+            # the cold-window tail tightened 8.2 s -> 3.8 s).
+            # Overflow bound (longs wrap silently in non-ANSI): the
+            # largest term is n*sum(av*bv) <= n_hours^2 * max(v)^2; at
+            # sf0.1 that is 720^2 * (5.6e5)^2 = 1.6e17, 57x under
+            # 2^63 — safe while per-user-hour |v| < ~4.2e6 (e3-grain
+            # |value| mass < ~4200/user-hour; measured max 560).
+            # try_divide: degenerate series (n=1 or zero variance) have
+            # a zero denominator and yield NULL — matching DuckDB corr's
+            # NULL semantics, exactly as the covar_pop form did.  F.corr
+            # itself stays an ANSI landmine (see git history).
             stable_round(
                 F.try_divide(
-                    F.covar_pop(av, bv),
-                    F.stddev_pop(av) * F.stddev_pop(bv),
+                    (F.count(av) * F.sum(av * bv) - F.sum(av) * F.sum(bv)).cast(
+                        "double"
+                    ),
+                    F.sqrt(
+                        (F.count(av) * F.sum(av * av) - F.sum(av) * F.sum(av)).cast(
+                            "double"
+                        )
+                    )
+                    * F.sqrt(
+                        (F.count(av) * F.sum(bv * bv) - F.sum(bv) * F.sum(bv)).cast(
+                            "double"
+                        )
+                    ),
                 ),
                 4,
             ).alias("value_corr"),

@@ -304,7 +304,11 @@ def _u16_sql(col: str = "text") -> str:
     ),
 )
 def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_scan: the md5-u16 + explode below runs fused into the
+    # single-task scan AND its output is persisted with that one-partition
+    # layout, so both counting passes read one cached partition — fan out
+    # first (r13 paired A/B median 0.85, diff rows 0/0)
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     # (u, token) only — no doc_id: nothing downstream uses it, and the
     # persisted exploded table is token-instance-grain, so every pruned
     # byte is corpus-scale
