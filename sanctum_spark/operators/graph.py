@@ -117,9 +117,14 @@ def pagerank(
     # no driver-side collect of data-dependent values.
     n = nodes.agg(F.count(F.lit(1)).alias("n"))
 
+    # No checkpoint on the initial ranks (r13): each round references
+    # `ranks` exactly once (the contribution join), so there is no
+    # double-eval to guard against, and the init is one cheap projection
+    # over the already-checkpointed nodes — cutting one eager job from
+    # the setup path.
     ranks = nodes.join(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
-    ).localCheckpoint(eager=True)
+    )
 
     for i in range(n_iter):
         contrib = (
