@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from sanctum_spark.io import load_table
+from sanctum_spark.io import load_table, spread_scan
 from sanctum_spark.queries import register
 from sanctum_spark.queries.util import sql_json_int
 from sanctum_spark.spells import ExpressionSpell, Spell, apply_spell, loop_spell
@@ -159,7 +159,15 @@ def _decrement_cast(event: dict) -> dict | None:
     ),
 )
 def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
+    # spread_scan (r13, guide §2.5/§4): the events scan is single-row-group
+    # (one task), so the per-event Python while-loop — the most expensive
+    # per-row work in any registered query — ran serially on one core.
+    # Fanning out is per-row deterministic (n_casts depends only on the
+    # row), diff 0/0; paired A/B median ratio 0.44 (1.81 s -> 0.79 s).
+    # q80/q82/q84 measured as LOSERS (1.5x/2.1x/1.2x — their Python is
+    # batch-cheap and the added exchange dominates); only the loop tier
+    # carries enough per-row work to win.
+    ev = spread_scan(load_table(spark, sf_dir, "events")).select(
         "event_id", F.get_json_object("props", "$.k").try_cast("long").alias("counter")
     )
     spell = Spell(name="decrement", cast=_decrement_cast)
