@@ -44,10 +44,14 @@ def get_spark(app_name: str = "sanctum_spark", extra_conf: dict | None = None) -
         # AQE considers healthy is exactly one it may hash-build — bounded
         # per-task memory at any scale (the OOM risk §3.1 warns about is
         # capped by the same 64 MB that caps coalescing).  Measured r13
-        # (sf0.1, interleaved paired A/B over the 10-query join band):
-        # aggregate median ratio 0.835, one mild loser (q07 1.13), values
-        # identical.  Cluster note: byte-based, not core-count-based —
-        # production keeps both as-is or raises them together.
+        # (full-registry static-plan diff at sf0.1): flips exactly the
+        # five non-broadcastable shapes — q44 full-outer, q111 CDC merge,
+        # and the q114/q158/q161 corpus-grain graph/CC joins — SMJ -> SHJ
+        # with identical exchange counts; every other registered plan is
+        # byte-identical (the 64 MB broadcast threshold covers them at
+        # this SF), values identical everywhere.  Cluster note:
+        # byte-based, not core-count-based — production keeps both as-is
+        # or raises them together.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
