@@ -162,9 +162,12 @@ def test_window_quality_matches_judged_history():
 
     assert verdict("tools/bench_r10_quiet.json") == "ok"
     assert verdict("BENCH_DETAIL.r12-quiet.json") == "ok"
-    # the r12 driver window (committed as BENCH_DETAIL.json @ r12 close)
-    # self-flagged: par end 256.2 ms vs jvm single 107.1 -> 2.39x
-    assert verdict("BENCH_DETAIL.json") == "degraded-end"
+    # the r12 driver window self-flagged: par end 256.2 ms vs jvm single
+    # 107.1 -> 2.39x.  Pinned under a round-stable name: the bare
+    # BENCH_DETAIL.json is overwritten by every driver close (the r13
+    # driver run clobbered the r12 content this assertion used to read),
+    # so tests must only ever reference promoted per-round copies.
+    assert verdict("BENCH_DETAIL.r12-driver.json") == "degraded-end"
     assert verdict("BENCH_DETAIL.r11-quiet.json") == "degraded-end"
 
 
