@@ -424,6 +424,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # Scaling legibility (r13 verdict): the artifact self-reports its
+        # effective parallelism and master so a reader can tell a
+        # low-core run from a serial engine without external canaries.
+        "cpus": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
         "spell_events_per_sec": spell_tp,
         "spell_events_per_sec_sustained": spell_tp_sustained,
         "spell_events_per_sec_expr": spell_tp_expr,
@@ -447,6 +452,8 @@ def main() -> None:
         "unit": "sec",
         "queries": slowest,
         "sf": sf_val,
+        "cpus": detail["cpus"],
+        "master": detail["master"],
         "n_queries": len(timings),
         "median_sec": round(sorted(timings.values())[len(timings) // 2], 4),
         "spell_events_per_sec": spell_tp,

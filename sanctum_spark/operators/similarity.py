@@ -438,6 +438,7 @@ def pq_train(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_iters: int = 2,
+    fallback: DataFrame | None = None,
 ) -> list[list[list[float]]]:
     """Deterministic product-quantization codebooks: split the vector into
     ``m`` subspaces and Lloyd-train ``ksub`` centroids per subspace.
@@ -461,28 +462,40 @@ def pq_train(
     # (len(None)) and the seeding sample below — drop them once up front
     # (r6 ADVICE item 3)
     df = df.filter(F.col(vec_col).isNotNull())
-    head = df.select(vec_col).first()
-    if head is None:
-        raise ValueError(
-            "pq_train: empty training corpus — train on a non-empty sample"
-        )
-    dim = len(head[0])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
+
     # Deterministic farthest-point seeding per subspace on a hash-ordered
     # driver-side sample (a parameter-fit sample, not a data collect; at
     # 100 TB the sample size stays 32*ksub regardless of corpus size).
     # Lowest-id seeding collapsed recall when early ids were correlated —
     # neighboring codebook entries started near-identical and Lloyd could
     # not pull them apart.
-    sample = [
-        [float(x) for x in r[0]]
-        for r in df.select(vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(max(32 * ksub, 256))
-        .collect()
-    ]
+    def _seed_sample(d: DataFrame) -> list[list[float]]:
+        return [
+            [float(x) for x in r[0]]
+            for r in d.select(vec_col)
+            .orderBy(F.xxhash64(F.col(id_col)))
+            .limit(max(32 * ksub, 256))
+            .collect()
+        ]
+
+    # The sample doubles as the emptiness and dim probe (r13 verdict task
+    # #6): the former separate first() job told us nothing the sample's
+    # own first row doesn't, and callers' train.isEmpty() pre-probe is
+    # subsumed by ``fallback`` — an empty seed sample IS train.isEmpty(),
+    # so the fallback corpus kicks in on exactly the same condition, two
+    # driver jobs cheaper per call.
+    sample = _seed_sample(df)
+    if not sample and fallback is not None:
+        df = fallback.filter(F.col(vec_col).isNotNull())
+        sample = _seed_sample(df)
+    if not sample:
+        raise ValueError(
+            "pq_train: empty training corpus — train on a non-empty sample"
+        )
+    dim = len(sample[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
     # Farthest-point selection is vectorized: keep each point's squared
     # distance to its nearest chosen seed and fold in one (S, dsub)
     # numpy pass per new seed — O(ksub·S·dsub) instead of the

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sanctum_spark.io import load_table, spread_scan
+from sanctum_spark.io import load_table, parquet_split_count, spread_scan
 from sanctum_spark.operators import dedup as D
 from sanctum_spark.operators import multimodal as M
 from sanctum_spark.operators import similarity as S
@@ -30,7 +30,10 @@ from sanctum_spark.queries import register
     ),
 )
 def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents"),
+        parquet_split_count(sf_dir, "documents"),
+    )
     return D.minhash_near_duplicates(
         docs, "text", "doc_id", n_hashes=16, bands=4, shingle_k=3, threshold=0.5
     ).orderBy("id_a", "id_b")
@@ -226,8 +229,18 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a NULL payload has no bytes/features: both engines skip it (also
     # keeps n_bytes int64 — one NULL row would flip the oracle's pandas
     # dtype to float64 and break the string hash for EVERY row)
+    #
+    # spread_scan (r14, guide §2.5/§4.3): the Arrow mapInPandas decode
+    # below otherwise runs as ONE Python worker behind the single-row-
+    # group scan — the q81 mechanism.  r13's sweep read q90 as a loser
+    # (1.36) in its window; the r14 interleaved paired A/B (8 pairs, one
+    # JVM) measures median ratio 0.56 (0.88-1.24 s -> 0.53-0.69 s), and
+    # per-row md5 features are partitioning-independent by construction.
     docs = (
-        load_table(spark, sf_dir, "documents")
+        spread_scan(
+            load_table(spark, sf_dir, "documents"),
+            parquet_split_count(sf_dir, "documents"),
+        )
         .filter(F.col("text").isNotNull())
         .select("doc_id", F.encode("text", "utf-8").alias("blob"))
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sanctum_spark.io import load_table, register_views, spread_scan
+from sanctum_spark.io import load_table, parquet_split_count, register_views, spread_scan
 from sanctum_spark.queries import register
 from sanctum_spark.queries.util import sql_codepoint_levenshtein, stable_round
 
@@ -250,7 +250,10 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the edge materialization is the dominant phase (28.6 s cold /
     # 1.1 s warm at sf0.1, single-task scan) — fan it out before the
     # derivation (r13 paired A/B median 0.92 warm, 0.63 cold-window).
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents"),
+        parquet_split_count(sf_dir, "documents"),
+    )
     counts = (
         cooccurrence_pairs(docs, "text", window=2)
         .filter(F.col("w1") != F.col("w2"))

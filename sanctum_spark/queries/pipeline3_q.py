@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sanctum_spark.io import load_table, spread_scan
+from sanctum_spark.io import load_table, parquet_split_count, spread_scan
 from sanctum_spark.queries import register
 from sanctum_spark.queries.util import stable_round
 
@@ -60,12 +60,12 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # sampled training (deterministic quarter-slice), full-corpus encoding —
     # the documented 100 TB split between the train and index passes.
+    # fallback=corpus replaces the former train.isEmpty() pre-probe (one
+    # driver job): a tiny corpus that misses the quarter-slice entirely
+    # trains on everything, detected from the seed sample pq_train
+    # already collects (r6 review finding; r13 verdict task #6).
     train = corpus.filter(F.col("vec_id") % 4 == 0)
-    if train.isEmpty():
-        # a tiny corpus can miss the deterministic quarter-slice entirely;
-        # train on everything rather than abort (r6 review finding)
-        train = corpus
-    books = pq_train(train, m=8, ksub=16, n_iters=4)
+    books = pq_train(train, m=8, ksub=16, n_iters=4, fallback=corpus)
     encoded = pq_encode(corpus, books)
     return pq_adc_topk(encoded, books, qvec, k=10, rerank=100).select(
         "vec_id", stable_round(F.col("adc_dist"), 5).alias("adc_dist")
@@ -179,7 +179,10 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctum_spark.operators.text import ngram_lm_score, ngram_lm_table
 
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents"),
+        parquet_split_count(sf_dir, "documents"),
+    )
     table = ngram_lm_table(docs.filter(F.col("doc_id") % 5 != 0), "text", n=3)
     held_out = docs.filter(F.col("doc_id") % 5 == 0)
     out = ngram_lm_score(held_out, table, "text", "doc_id", n=3, alpha=0.5)

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from sanctum_spark.io import load_table, spread_scan
+from sanctum_spark.io import load_table, parquet_split_count, spread_scan
 from sanctum_spark.operators.dedup import hashed_word_windows
 from sanctum_spark.queries import register
 from sanctum_spark.queries.util import sql_int_grain, stable_round
@@ -227,7 +227,10 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q142_build(spark: SparkSession, sf_dir: str):
     """Pre-checkpoint q142 pipeline; separate so the plan pin can inspect
     the real plan (the registered fn's eager checkpoint truncates it)."""
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents"),
+        parquet_split_count(sf_dir, "documents"),
+    )
     # 5-gram shingles hashed to LONGS at the scan (xxhash64 of the joined
     # window): the distinct / source-set shuffles ship 8-byte keys instead
     # of ~40-byte strings.  The oracle re-derives the same containment

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from sanctum_spark.io import load_table, parquet_row_count, spread_scan
+from sanctum_spark.io import load_table, parquet_row_count, parquet_split_count, spread_scan
 from sanctum_spark.operators.dedup import hashed_word_windows
 from sanctum_spark.queries import register
 from sanctum_spark.queries.util import stable_round
@@ -308,7 +308,10 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-task scan AND its output is persisted with that one-partition
     # layout, so both counting passes read one cached partition — fan out
     # first (r13 paired A/B median 0.85, diff rows 0/0)
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents"),
+        parquet_split_count(sf_dir, "documents"),
+    )
     # (u, token) only — no doc_id: nothing downstream uses it, and the
     # persisted exploded table is token-instance-grain, so every pruned
     # byte is corpus-scale
@@ -596,15 +599,22 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = ev.groupBy(
         "event_type", F.dayofweek(F.col("ts").cast("date")).alias("dow")
     ).agg(F.count(F.lit(1)).alias("o"))
-    rt = cont.groupBy("event_type").agg(F.sum("o").alias("r"))
-    ct = cont.groupBy("dow").agg(F.sum("o").alias("c"))
-    n = cont.agg(F.sum("o").cast("double").alias("n"))
-    e = F.col("r") * F.col("c") / F.col("n")
+    # r14 (guide §2.4, §7.2): the former rt/ct/n broadcast joins re-derived
+    # `cont` three more times (no DAG-level CSE across the join subtrees —
+    # 4 evaluations of the corpus aggregate, 9 AQE jobs).  The contingency
+    # table is bounded at |event types| x 7 rows at ANY corpus size, so the
+    # row/column/grand totals are window aggregates over ONE pass instead:
+    # the empty partitionBy() window forces SinglePartition, which already
+    # satisfies the clustered distribution the event_type/dow windows
+    # require — one exchange total after the count, zero joins, and the
+    # per-cell expression (o - r*c/n)^2/(r*c/n) is unchanged value-for-
+    # value (r, c stay BIGINT; n is cast double exactly as before).
     joined = (
-        cont.join(F.broadcast(rt), "event_type")
-        .join(F.broadcast(ct), "dow")
-        .crossJoin(F.broadcast(n))
+        cont.withColumn("n", F.sum("o").over(W.partitionBy()).cast("double"))
+        .withColumn("r", F.sum("o").over(W.partitionBy("event_type")))
+        .withColumn("c", F.sum("o").over(W.partitionBy("dow")))
     )
+    e = F.col("r") * F.col("c") / F.col("n")
     return joined.agg(
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         (
@@ -1136,7 +1146,10 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from sanctum_spark.operators.text import quality_logit_score
 
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents"),
+        parquet_split_count(sf_dir, "documents"),
+    )
     # prefix_filter="auto": corpus-grain candidate stage — same
     # cost-based rationale as q99 (naive 3.77x vs prefix 2.03x per
     # doubling at the third octave, r7 paired A/B; naive's lower fixed

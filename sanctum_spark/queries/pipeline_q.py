@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sanctum_spark.io import load_table, parquet_row_count, spread_scan
+from sanctum_spark.io import load_table, parquet_row_count, parquet_split_count, spread_scan
 from sanctum_spark.queries import register
 from sanctum_spark.queries.util import stable_round
 
@@ -434,7 +434,10 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctum_spark.operators.dedup import connected_components, ngram_jaccard_pairs
 
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents"),
+        parquet_split_count(sf_dir, "documents"),
+    )
     # prefix_filter="auto": this is CORPUS-GRAIN clustering, so the
     # candidate stage must survive corpus growth — measured octaves
     # (r7 paired A/B): naive 3.77x wall per doubling at sf0.2->0.4
@@ -950,7 +953,10 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctum_spark.operators.text import cooccurrence_pairs
 
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents"),
+        parquet_split_count(sf_dir, "documents"),
+    )
     return (
         cooccurrence_pairs(docs, "text", window=2)
         .groupBy("w1", "w2")

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from sanctum_spark.io import load_table, spread_scan
+from sanctum_spark.io import load_table, parquet_split_count, spread_scan
 from sanctum_spark.queries import register
 from sanctum_spark.queries.util import sql_json_int
 from sanctum_spark.spells import ExpressionSpell, Spell, apply_spell, loop_spell
@@ -167,7 +167,10 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q80/q82/q84 measured as LOSERS (1.5x/2.1x/1.2x — their Python is
     # batch-cheap and the added exchange dominates); only the loop tier
     # carries enough per-row work to win.
-    ev = spread_scan(load_table(spark, sf_dir, "events")).select(
+    ev = spread_scan(
+        load_table(spark, sf_dir, "events"),
+        parquet_split_count(sf_dir, "events"),
+    ).select(
         "event_id", F.get_json_object("props", "$.k").try_cast("long").alias("counter")
     )
     spell = Spell(name="decrement", cast=_decrement_cast)
