@@ -938,6 +938,26 @@ def connected_components(
             )
         ).alias("e")
     ).select("e.src", "e.dst")
+    # r14 (guide §2.4, §7 "driver round-trips"), LOCAL path only:
+    # SELF-LOOPS fold the node's own label into the neighbor-min
+    # aggregate, so each round is ONE join + ONE aggregate —
+    # min(component) over neighbors ∪ {self} is exactly the old
+    # least(own, coalesce(neighbor_min, own)), and the per-round
+    # labels ⟕ neighbor_min join (plus its broadcast build job)
+    # disappears.  One self-loop per NODE (from the distinct node set,
+    # not per edge instance), unioned onto the already-checkpointed
+    # mirror, so the join input grows by |nodes| rows — the same rows
+    # the removed join carried.  Label sequences are identical integers
+    # round-for-round, so the convergence-sum path is untouched.
+    #
+    # The BUCKETED (cluster) path deliberately keeps the two-join round:
+    # a union of the edges table with self-loops has UnknownPartitioning
+    # (UnionExec drops the bucketed layout), so self-loops there would
+    # reintroduce a per-round Exchange on the big edge side — the exact
+    # thing the co-bucketed tables exist to avoid — and the removed
+    # labels ⟕ neighbor_min join is already exchange-free against the
+    # bucketed labels table.  Self-loops win where jobs are the cost
+    # (local mode, tiny rounds), not where the edge shuffle is.
     if checkpoint_table:
         from sanctum_spark.operators.ckpt import (
             PingPongCheckpoint,
@@ -950,8 +970,16 @@ def connected_components(
         _labels_ckpt = PingPongCheckpoint(
             f"{checkpoint_table}_labels", "id", n_buckets
         ).write
+        # Mid-round (jump) cuts rotate through the SAME ping-pong — it
+        # cycles THREE tables precisely so one carried state plus one
+        # intra-round intermediate never collide — so the cluster-scale
+        # path no longer falls back to an executor-memory
+        # localCheckpoint (r13 ADVICE item 4).
+        _jump_ckpt = _labels_ckpt
+        self_loops = False
     else:
         sym = sym.localCheckpoint(eager=True)
+        self_loops = True
 
         def _labels_ckpt(df, eager=True):
             # Per-ROUND label checkpoints are LAZY (r13, guide §5): every
@@ -963,43 +991,68 @@ def connected_components(
             # Labels are exact integer propagation, so laziness cannot
             # change values (paired A/B diff 0/0; q161-shaped graphs
             # median ratio 0.91, q99 ~1.0 warm — the win is driver
-            # round-trips, which is also the scale argument).  The INIT
-            # checkpoint stays eager: round 1 references it twice before
-            # any action has materialized it, and a lazy cut would let
-            # the two join stages race to recompute the distinct.
+            # round-trips, which is also the scale argument).
             return df.localCheckpoint(eager=eager)
 
-    labels = _labels_ckpt(
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-    )
+        def _jump_ckpt(df):
+            # EAGER even though the per-round cut is lazy: the jump
+            # self-join references the SAME lazy plan twice, and a lazy
+            # cut would let the two join stages race to recompute it.
+            return df.localCheckpoint(eager=True)
+
+    if self_loops:
+        # `nodes` is eager-checkpointed because it feeds BOTH the init
+        # labels and the self-loop side consumed every round; the init
+        # labels are a cheap projection over that cut (referenced once,
+        # in round 1) and need no checkpoint of their own.
+        nodes = (
+            sym.select(F.col("src").alias("id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sym = sym.unionAll(
+            nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+        )
+        labels = nodes.withColumn("component", F.col("id"))
+    else:
+        labels = _labels_ckpt(
+            sym.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("component", F.col("id"))
+        )
     prev_sum = None  # first round always runs; saves one pre-loop job
     converged = False
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.src == labels.id)
-            .groupBy("dst")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        propagated = labels.join(
-            neighbor_min, labels.id == neighbor_min.dst, "left"
-        ).select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-            ).alias("component"),
-        )
+        if self_loops:
+            propagated = (
+                sym.join(labels, sym.src == labels.id)
+                .groupBy("dst")
+                .agg(F.min("component").alias("component"))
+                .select(F.col("dst").alias("id"), "component")
+            )
+        else:
+            neighbor_min = (
+                sym.join(labels, sym.src == labels.id)
+                .groupBy("dst")
+                .agg(F.min("component").alias("nbr_min"))
+            )
+            propagated = labels.join(
+                neighbor_min, labels.id == neighbor_min.dst, "left"
+            ).select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
         if jump:
             # pointer jumping: component[n] <- component[component[n]] —
             # labels are node ids, so the parent lookup is a self-join.
-            # Checkpoint first: both join inputs are the same lazy plan,
-            # which would otherwise evaluate the propagation twice.
-            # EAGER here even though _labels_ckpt went lazy (r13): a lazy
-            # cut under a self-join lets the two join stages race to
-            # compute the same partitions before the cache fills — the
-            # eager checkpoint is precisely the double-eval guard.
-            propagated = propagated.localCheckpoint(eager=True)
+            # Checkpoint first (via _jump_ckpt: bucketed ping-pong table
+            # under checkpoint_table, eager localCheckpoint otherwise):
+            # both join inputs are the same lazy plan, which would
+            # otherwise evaluate the propagation twice.
+            propagated = _jump_ckpt(propagated)
             par = propagated.select(
                 F.col("id").alias("pid"), F.col("component").alias("pcomp")
             )

@@ -126,27 +126,65 @@ def pagerank(
     # double-eval to guard against, and the init is one cheap projection
     # over the already-checkpointed nodes — cutting one eager job from
     # the setup path.
-    ranks = nodes.join(F.broadcast(n)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("rank")
-    )
+    #
+    # r14 (guide §2.4, §7 "driver round-trips"): in a MIRRORED graph
+    # every node has in-edges (each outgoing edge implies the reverse),
+    # so the contribution aggregate already covers every node and the
+    # per-round `nodes` left-join plus its broadcast(n) attach are
+    # redundant — the coalesce branch can never fire.  Carrying `n` as
+    # a column through the rounds (one BIGINT per node; constant value,
+    # min() in the aggregate is exact) lets each round be ONE join +
+    # ONE aggregate: 2 AQE jobs instead of 4 (measured 48 -> ~22 jobs
+    # on q114's 10-round TextRank, where the graph is tiny and jobs ARE
+    # the cost).  Rank values are bit-identical: the contribution
+    # aggregate subtree is unchanged, and (1-d)/n + d*contrib is the
+    # same expression the left-join form evaluated.  The directed path
+    # (symmetric=False) keeps the left join — source-only nodes really
+    # do need the teleport-only row there.
+    if symmetric:
+        ranks = nodes.join(F.broadcast(n)).select(
+            "node", (F.lit(1.0) / F.col("n")).alias("rank"), F.col("n")
+        )
+    else:
+        ranks = nodes.join(F.broadcast(n)).select(
+            "node", (F.lit(1.0) / F.col("n")).alias("rank")
+        )
 
     for i in range(n_iter):
-        contrib = (
-            e.join(ranks, e.src == ranks.node)
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .join(F.broadcast(n))
-            .select(
-                "node",
+        if symmetric:
+            contrib = (
+                e.join(ranks, e.src == ranks.node)
+                .groupBy("dst")
+                .agg(
+                    F.sum(F.col("rank") * F.col("share")).alias("contrib"),
+                    F.min("n").alias("n"),
+                )
+            )
+            ranks = contrib.select(
+                F.col("dst").alias("node"),
                 (
                     (1.0 - damping) / F.col("n")
-                    + damping * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + damping * F.col("contrib")
                 ).alias("rank"),
+                F.col("n"),
             )
-        )
+        else:
+            contrib = (
+                e.join(ranks, e.src == ranks.node)
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib"))
+            )
+            ranks = (
+                nodes.join(contrib, nodes.node == contrib.dst, "left")
+                .join(F.broadcast(n))
+                .select(
+                    "node",
+                    (
+                        (1.0 - damping) / F.col("n")
+                        + damping * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
         if checkpoint_every > 0 and (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return ranks.select("node", "rank") if symmetric else ranks

@@ -327,6 +327,40 @@ def test_bucketed_checkpoint_join_no_label_exchange(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_bucketed_checkpoint_jump_path(spark):
+    """jump=True + checkpoint_table (r13 ADVICE item 4): the mid-round
+    pointer-jumping cut must rotate through the SAME bucketed ping-pong
+    tables (three of them, so a round never overwrites what it reads) —
+    never an executor-memory localCheckpoint — and the combination must
+    converge on a path graph whose diameter exceeds plain max_iter."""
+    from sanctum_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(25)], "id_a long, id_b long"
+    )
+    cc = connected_components(
+        edges, max_iter=8, jump=True, checkpoint_table="ccjump", n_buckets=4
+    )
+    try:
+        got = {r["id"]: r["component"] for r in cc.collect()}
+        assert got == {i: 0 for i in range(26)}
+        # all three ping-pong tables were used (per round: one jump cut
+        # + one round-end write), proving the jump cut went through the
+        # bucketed rotation, not localCheckpoint
+        tables = {
+            t.name for t in spark.catalog.listTables() if t.name.startswith("ccjump")
+        }
+        assert {"ccjump_labels_a", "ccjump_labels_b", "ccjump_labels_c"} <= tables
+    finally:
+        for t in (
+            "ccjump_edges",
+            "ccjump_labels_a",
+            "ccjump_labels_b",
+            "ccjump_labels_c",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_q140_single_exchange(spark, sf_dir):
     """Sessionization + sequence build: lag window, session-id running
     sum and the per-session aggregation all share the user_id hash
