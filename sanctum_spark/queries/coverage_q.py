@@ -363,29 +363,40 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.sum(int_grain(F.col("value"), 3)).alias("v"))
-    # Reused by the activity filter and both sides of the pairing join;
-    # eager persist so AQE's concurrent child stages don't race to
-    # recompute the aggregation (see q74 note). On a cluster this would
-    # be a checkpoint / staged parquet write instead.
-    hourly = hourly.persist()
-    hourly.count()
 
     # A pair needs >=5 shared hours, so each member needs >=5 active
     # hours: a LINEAR pre-filter that removes the low-activity user tail
     # before the pairing join ever sees it. At 100 TB that tail (one-off
     # users) dominates row counts; here it is the only pruning that is
     # both exact and ahead of the quadratic stage.
-    active = (
-        hourly.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("_nh"))
+    #
+    # r14 (guide §2.4): the filter is a COUNT WINDOW over the hourly
+    # aggregate, not a groupBy + semi-join back — the window rides the
+    # user_id-compatible exchange, so the activity agg job, its
+    # broadcast build, and (critically) the DOUBLE evaluation of the
+    # un-persisted semi-join on both pairing sides all disappear; the
+    # persisted cut moves to the FILTERED table, which is exactly what
+    # both join sides read.  Paired A/B (6 pairs, one JVM, sf0.1):
+    # median ratio 0.505, 14 -> 10 jobs, full symmetric diff identical.
+    hourly = (
+        hourly.withColumn(
+            "_nh", F.count(F.lit(1)).over(W.partitionBy("user_id"))
+        )
         .filter(F.col("_nh") >= 5)
-        .select("user_id")
+        .drop("_nh")
     )
-    hourly = hourly.join(active, "user_id", "left_semi")
+    # Reused by both sides of the pairing join; eager persist so AQE's
+    # concurrent child stages don't race to recompute the aggregation
+    # (see q74 note). On a cluster this would be a checkpoint / staged
+    # parquet write instead.
+    hourly = hourly.persist()
+    hourly.count()
 
     # Single-pass pairing + one aggregation building all six corr partials
     # map-side. Two-phase "block then verify" variants (slim count join →

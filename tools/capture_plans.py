@@ -1,7 +1,7 @@
 """Capture .explain("formatted") for named queries into plans/<dir>/.
 
 Usage: python tools/capture_plans.py <label> [query ...]
-  label  - suffix for the plan files: plans/r13/<query>_<label>.txt
+  label  - suffix for the plan files: plans/<SPARK_GRAFT_PLAN_DIR default r14>/<query>_<label>.txt
            (use "before" / "after" per the optimization-round contract)
   query  - registry names; default: the top-slowest set tracked in r13.
 
@@ -42,7 +42,7 @@ def main() -> None:
     label = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or DEFAULT_QUERIES
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r13")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r14"))
     os.makedirs(out_dir, exist_ok=True)
 
     from sanctum_spark.session import get_spark
