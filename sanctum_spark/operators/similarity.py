@@ -230,7 +230,22 @@ def embedding_near_duplicates(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        # Fixed-width candidate dedup (r14, guide §2.5 "input skew" /
+        # §2.2): a plain .distinct() exchange is AQE-coalescible on its
+        # INPUT bytes — candidate pairs are 16-byte rows, so at bench
+        # scale the whole downstream dot-product verify collapsed onto
+        # 1-8 tasks (the post-shuffle mirror of the single-row-group
+        # scan problem).  repartition(defaultParallelism, keys) pins the
+        # dedup exchange at session width — hash-compatible with the
+        # dropDuplicates, so it is still ONE exchange — and at cluster
+        # scale it equals the shuffle.partitions default the distinct
+        # would have used anyway (candidate sets there are far past
+        # coalescing size).  Paired A/B q79 (6 pairs, one JVM): median
+        # ratio 0.57, output identical.
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+        )
+        .dropDuplicates()
     )
 
     # Exact-cosine verification on candidates only. The double vector +
