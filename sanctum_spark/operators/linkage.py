@@ -63,7 +63,25 @@ def blocked_candidate_pairs(
     """
     _require_integral_id(df, id_col, "blocked_candidate_pairs")
     cols = [id_col, fuzzy_col, *block_cols]
-    a, b = df.select(*cols).alias("a"), df.select(*cols).alias("b")
+    # Fixed-width block key distribution (r14, guide §2.5/§3.1): when
+    # the record table is small enough to broadcast (q161's part catalog
+    # at bench SF), the planner makes this a BroadcastHashJoin whose
+    # STREAM side is the raw scan — a single-row-group input runs as ONE
+    # task, and the quadratic in-block levenshtein (the expensive part,
+    # ~1.3M candidate evaluations at sf0.1) serializes on one core.
+    # repartition(P, block_cols) fans the stream side out to session
+    # width; when the table outgrows broadcast the same node is
+    # hash-compatible with the shuffle join's requirement, so it stays
+    # ONE exchange per side (REPARTITION_BY_NUM) at the width
+    # ENSURE_REQUIREMENTS would pick anyway.  Keyed by the block cols —
+    # not round-robin — so in-block pairs stay co-located under either
+    # strategy.  Paired A/B on the q161 pairs stage (6 pairs, one JVM):
+    # median ratio 0.34 (1.0 s -> 0.32 s), output identical; plans:
+    # plans/r14/q161_pairs_stage_{before,after}.txt.
+    base = df.select(*cols).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *block_cols
+    )
+    a, b = base.alias("a"), base.alias("b")
     on: list[Column] = [
         F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols
     ]

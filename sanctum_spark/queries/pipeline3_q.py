@@ -124,8 +124,20 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctum_spark.operators.dedup import cross_corpus_near_duplicates
+    from sanctum_spark.io import parquet_split_count, spread_scan
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_scan (r14, guide §2.5): BOTH signature passes (shingling +
+    # 16 MinHash folds, the expensive per-row work) run fused into the
+    # single-row-group scan and were serializing on one core each behind
+    # the eager signature persists.  Per-row deterministic, so
+    # partitioning cannot change results.  r13's sweep read q121 as a
+    # loser in its window; the r14 interleaved paired A/B (6 pairs, one
+    # JVM) measures median ratio 0.845 (consistent 0.76-0.85), output
+    # identical.
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents"),
+        parquet_split_count(sf_dir, "documents"),
+    )
     new = docs.filter(F.col("doc_id") % 3 == 0)
     base = docs.filter(F.col("doc_id") % 3 != 0)
     out = cross_corpus_near_duplicates(
