@@ -217,8 +217,11 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW w AS (PARTITION BY user_id)
     """,
     doc=(
-        "grouped-map applyInPandas (per-group pandas transform): z-score "
-        "normalization per user, oracle-checked against the window form."
+        "per-user z-score normalization as pure-JVM window aggregates "
+        "(one user_id exchange, zero Python — the r13 rewrite of the "
+        "original grouped-map applyInPandas form; grouped-map coverage "
+        "lives in tests/test_operators.py and q83's grouped-agg UDAF), "
+        "oracle-checked against the identical window form."
     ),
 )
 def q85(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -39,11 +39,26 @@ def get_spark(app_name: str = "sanctum_spark", extra_conf: dict | None = None) -
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Shuffled-hash over sort-merge when the per-partition build side
-        # fits (guide §3.1/§9): skips both sort passes.  The AQE threshold
-        # matches advisoryPartitionSizeInBytes, so a post-shuffle partition
-        # AQE considers healthy is exactly one it may hash-build — bounded
-        # per-task memory at any scale (the OOM risk §3.1 warns about is
-        # capped by the same 64 MB that caps coalescing).  Measured r13
+        # fits (guide §3.1/§9): skips both sort passes.  Memory-bound
+        # honestly (r14, per advisory review): only the AQE path
+        # (maxShuffledHashJoinLocalMapThreshold, matched to
+        # advisoryPartitionSizeInBytes) checks REAL post-shuffle sizes —
+        # a partition AQE considers healthy is exactly one it may
+        # hash-build.  preferSortMergeJoin=false ALSO lets the STATIC
+        # planner pick SHJ from size ESTIMATES (canBuildLocalHashMap
+        # allows up to autoBroadcastJoinThreshold x numShufflePartitions
+        # estimated per side), and SHJ's build side cannot spill, so a
+        # bad estimate downstream of explode-heavy derivations is an OOM
+        # risk at production scale.  Kept despite that because (a) the
+        # guide's §9 baseline sets it, (b) dropping it and relying on
+        # AQE promotion alone was A/B-measured r14 across 4 fresh JVMs:
+        # q114 pays 10-60% without the static flip (AQE re-plans per
+        # stage, after sorts may already be planned), and (c) the
+        # estimate risk is absent here (no explode feeds a non-broadcast
+        # join's build side in any registered plan).  A production
+        # deployment inheriting this config with stats-blind inputs
+        # should drop this one flag and keep the AQE threshold.
+        # Measured r13
         # (full-registry static-plan diff at sf0.1): flips exactly the
         # five non-broadcastable shapes — q44 full-outer, q111 CDC merge,
         # and the q114/q158/q161 corpus-grain graph/CC joins — SMJ -> SHJ
