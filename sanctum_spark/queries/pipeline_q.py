@@ -688,7 +688,16 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctum_spark.operators.text import decontaminate
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_scan (r14, guide §2.5): both the benchmark-shingle broadcast
+    # build and the train-side explode/semi-join ran as ONE serial task
+    # each behind the single-row-group scan (5 jobs / 5 tasks total).
+    # r13 measured this neutral in its window; the r14 interleaved paired
+    # A/B (5 pairs, one JVM) reads median 0.86 (0.70-0.91 on 4 of 5
+    # pairs).  Shingle derivation is per-row deterministic.
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents"),
+        parquet_split_count(sf_dir, "documents"),
+    )
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
     out = decontaminate(train, bench, "text", "doc_id", k=3, threshold=0.05)
