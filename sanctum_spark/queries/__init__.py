@@ -82,89 +82,86 @@ def load_all_modules() -> None:
 # 159 (r6 verdict task #6), so the rotation cycles the whole surface every
 # ~3 rounds.
 #
-# Round 13 selection (last-driver-round census over CORRECTNESS_r01-r12:
-# r09x9, r10x50, r11x50, r12x50 - recomputed at round start and matching
-# the r12 verdict's census exactly; r12 verdict task #1 orders this
-# rotation explicitly):
-#   1. the 9 rows the r12 rotation deferred, now alone on the r9
-#      staleness floor: q26/q87 (the rows-only approx pair) and
-#      q150/q151/q153/q154/q155/q156/q162 (the closed-form-pinned
-#      statistical validators + DTW + weighted reservoir + BM25);
-#   2. 41 of the 50 r10-era queries.  All 50 tie on staleness, so the
-#      standing tie-break applies: defer the 9 with the strongest
-#      independent in-suite evidence, favoring rows whose operators are
-#      also exercised by fuzz families or byte-identity pins:
-#        - q70_exact_dedup / q91_ngram_jaccard: bit-identity fuzz
-#          families A/G (tools/param_fuzz.py) re-run every round;
-#        - q71_text_stats / q72_lang_quality / q76_quality_profile /
-#          q92_corpus_clean: pure JVM expression pipelines whose scalar
-#          kernels are covered by the r10-era oracle rows AND the fused-
-#          pipeline equality suite (fuzz family O);
-#        - q73_cosine_topk: numpy-replay fuzz family D;
-#        - q86_event_sequence: stream-stream-join-equals-batch-CEP pin
-#          (tests/test_streaming_joins.py:32);
-#        - q89_dispersion: degenerate-group closed-form pin
-#          (tests/test_edge_invariants_b8.py:48) + boundary family
-#          (tests/test_edge_invariants_b13.py:72).
-#      Those 9 roll to the r14 front-50 seed (then on the r10 floor).
+# Round 14 selection (r13 verdict task #3 orders this rotation
+# explicitly: "seed the r14 front-50 with the 15 touched/replanned
+# queries ... ahead of the 9 deferred r10-era rows, then the stalest
+# remainder").  Census over CORRECTNESS_r01-r13 at round start:
+# r10x9 (the rows the r13 rotation deferred), r11x50, r12x50, r13x50.
+#   1. every query whose plan or code changed in the r13/r14
+#      optimization rounds — the 15 the r13 verdict names (q85, q88,
+#      q38, q74, q99, q109, q114, q122, q142, q147, q158, q81, q44,
+#      q111, q161) plus the 8 further queries r14 itself touched
+#      (q151 window rewrite, q119 probe removal, q90/q104/q75/q121
+#      scan fan-outs, q79 candidate-dedup pin, q128 Morton fast path;
+#      q99/q158/q161/q114 also carry the r14 CC/pagerank/linkage
+#      operator changes) — externally-unverified rewrites lead;
+#   2. the 9 rows deferred since r10 (now the staleness floor):
+#      q70/q91 (bit-identity fuzz families A/G), q71/q72/q76/q92
+#      (fused-pipeline equality, fuzz family O), q73 (numpy-replay
+#      family D), q86 (stream-join-equals-batch-CEP pin), q89
+#      (closed-form degenerate pins);
+#   3. 18 of the 50 r11-era rows: q144/q146 first (their modules —
+#      dedup.py, similarity.py — changed since their last driver row,
+#      the standing tie-break), then name order.
 # The FULL registry is still verified every round locally via
 # ``tools/verify_local.py`` (driver-strength string compare since r6),
 # so rotation never substitutes for whole-surface checking.
 VERIFY_FIRST: list[str] = [
-    # --- 1. last driver row r09 (stalest external evidence) ---
-    "q26_approx_distinct",
-    "q87_approx_percentile",
-    "q150_psi_drift",
-    "q151_chi2_independence",
-    "q153_dtw_similarity",
-    "q154_benford_digits",
-    "q155_weighted_reservoir",
-    "q156_powerlaw_fit",
-    "q162_bm25_topk",
-    # --- 2. r10-era: relational / join / scalar core ---
-    "q06_revenue_filter",
-    "q10_semi_join",
-    "q11_anti_join",
-    "q12_outer_join_fill",
-    "q14_promo_revenue",
-    "q17_small_quantity",
-    "q18_big_orders",
-    "q19_disjunctive",
-    "q21_window_running",
-    "q22_lag_lead",
-    "q23_rank_family",
-    "q24_first_last",
-    "q25_percentiles",
-    "q33_explode_positions",
-    "q41_except_union",
-    "q42_union_by_name",
-    "q43_array_manipulation",
-    "q52_sort_limit",
-    "q55_null_functions",
-    "q57_self_join",
-    "q61_json_props",
-    "q63_asof_join",
-    # --- 2. r10-era: events / streaming-adjacent ---
-    "q62_sessionize",
-    "q64_tumbling_window",
-    "q65_event_pivot",
-    "q67_props_as_map",
-    # --- 2. r10-era: pipeline / curation / training-data ---
-    "q100_hypertable_rollup",
-    "q101_vocab_bigrams",
-    "q102_salted_join_agg",
-    "q104_decontamination",
-    "q105_repetition_filter",
-    "q106_tfidf_terms",
-    "q107_regression_aggs",
-    "q108_sequence_packing",
+    # --- 1. r13/r14 optimization-touched (externally unverified first) ---
+    "q85_grouped_map_normalize",
+    "q88_user_correlation",
+    "q38_excess_volume_suppliers",
+    "q74_minhash_lsh_pairs",
+    "q99_dedup_clusters",
+    "q158_quality_keeper",
+    "q161_entity_resolution",
+    "q81_spell_loop",
+    "q44_full_outer",
+    "q111_cdc_upsert",
+    "q142_cross_source_overlap",
+    "q147_heavy_hitters",
     "q109_cooccurrence",
-    "q110_context_chunks",
     "q114_textrank_keywords",
-    "q115_fuzzy_vocab",
-    "q120_incremental_dedup",
     "q122_lm_score",
-    "q123_pii_scrub",
+    "q151_chi2_independence",
+    "q119_pq_ann",
+    "q90_multimodal_features",
+    "q104_decontamination",
+    "q79_embedding_neardup",
+    "q128_zorder_key",
+    "q75_simhash_pairs",
+    "q121_cross_corpus_neardup",
+    # --- 2. the r10 staleness floor (deferred twice, strongest
+    #        independent in-suite evidence) ---
+    "q70_exact_dedup",
+    "q71_text_stats",
+    "q72_lang_quality",
+    "q73_cosine_topk",
+    "q76_quality_profile",
+    "q86_event_sequence",
+    "q89_dispersion",
+    "q91_ngram_jaccard",
+    "q92_corpus_clean",
+    # --- 3. stalest remainder (r11 cohort; q144/q146 by the
+    #        changed-module tie-break, then name order) ---
+    "q144_segment_dedup",
+    "q146_embedding_clusters",
+    "q112_cohort_retention",
+    "q113_lateral_topk",
+    "q116_winsorize",
+    "q117_group_sample",
+    "q118_histogram",
+    "q124_train_shards",
+    "q125_quality_classifier",
+    "q126_weighted_sample",
+    "q127_domain_mix",
+    "q130_binned_range_join",
+    "q132_column_stats",
+    "q133_lateral_udtf",
+    "q134_key_skew",
+    "q135_ewma",
+    "q136_referential_integrity",
+    "q137_time_gaps",
 ]
 
 
