@@ -246,6 +246,17 @@ def _jvm_spin_par_ms(spark) -> float:
     return round(min(_timed(spin) for _ in range(3)) * 1000, 2)
 
 
+def _registry_sha(registry: dict) -> str:
+    """Order-insensitive fingerprint of the declared query names (12 hex
+    chars of sha256): two rounds with the same sha ran the same registry,
+    whatever the driver's 50-query oracle sample rotated to."""
+    import hashlib
+
+    return hashlib.sha256(
+        "\n".join(sorted(registry)).encode()
+    ).hexdigest()[:12]
+
+
 def _loadavg() -> list[float]:
     try:
         return [round(x, 2) for x in os.getloadavg()]
@@ -294,12 +305,23 @@ def _window_quality(calib: dict, cpus: int) -> str:
         calib.get("jvm_spin_ms_end"),
         calib.get("jvm_spin_par_ms_end"),
     )
+    # r14: a mid-suite canary block (absent in pre-r14 artifacts, in which
+    # case this is never true and the pre-r14 verdicts are unchanged)
+    # catches bursts confined to the middle of the run: 2026-08-18 saw two
+    # runs 3-6x over quiet whose endpoint blocks were all at their floors.
+    mid_bad = block_degraded(
+        calib.get("py_spin_ms_mid"),
+        calib.get("jvm_spin_ms_mid"),
+        calib.get("jvm_spin_par_ms_mid"),
+    )
     if start_bad and end_bad:
         return "degraded"
     if start_bad:
         return "degraded-start"
     if end_bad:
         return "degraded-end"
+    if mid_bad:
+        return "degraded-mid"
     return "ok"
 
 
@@ -365,7 +387,9 @@ def main() -> None:
     # warmed page cache, which is the steady-state number a resident
     # engine would show; run-to-run JIT/GC noise is ~±20% otherwise.
     timings: dict[str, float] = {}
-    for name, fn in sorted(registry.items()):
+    ordered = sorted(registry.items())
+    mid_at = len(ordered) // 2
+    for qi, (name, fn) in enumerate(ordered):
         best, n = None, 0
         for _ in range(2):
             t0 = time.perf_counter()
@@ -378,6 +402,16 @@ def main() -> None:
         # queries that persist() intermediates (q74/q75/q88) would otherwise
         # leak one cached copy per invocation into the shared session
         spark.catalog.clearCache()
+        if qi == mid_at:
+            # MID-suite canary block (r14): the start/end canaries bracket
+            # the run but cannot see a co-tenant burst confined to the
+            # middle — two such runs on 2026-08-18 read 262 s and 363 s
+            # (3-6x quiet) with BOTH endpoint blocks at their floors.
+            # Sampled between queries, so no timed region is touched.
+            calib["loadavg_mid"] = _loadavg()
+            calib["py_spin_ms_mid"] = _py_spin_ms()
+            calib["jvm_spin_ms_mid"] = _jvm_spin_ms(spark)
+            calib["jvm_spin_par_ms_mid"] = _jvm_spin_par_ms(spark)
 
     # BASELINE.md comparability: the reference's headline number is spell
     # throughput (events/sec/core, README.md:61-62).  Ours = events
@@ -429,6 +463,10 @@ def main() -> None:
         # low-core run from a serial engine without external canaries.
         "cpus": spark.sparkContext.defaultParallelism,
         "master": spark.sparkContext.master,
+        # r13 judge request: a registry fingerprint so "dropped queries"
+        # claims are mechanically refutable across the driver's rotating
+        # oracle samples — same 159 names <=> same sha.
+        "registry_sha": _registry_sha(registry),
         "spell_events_per_sec": spell_tp,
         "spell_events_per_sec_sustained": spell_tp_sustained,
         "spell_events_per_sec_expr": spell_tp_expr,
@@ -455,6 +493,7 @@ def main() -> None:
         "cpus": detail["cpus"],
         "master": detail["master"],
         "n_queries": len(timings),
+        "registry_sha": detail["registry_sha"],
         "median_sec": round(sorted(timings.values())[len(timings) // 2], 4),
         "spell_events_per_sec": spell_tp,
         "spell_events_per_sec_sustained": spell_tp_sustained,

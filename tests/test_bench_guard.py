@@ -205,3 +205,29 @@ def test_window_quality_blocks_and_fallbacks():
               "jvm_spin_ms_start": 100.0, "jvm_spin_ms_end": 100.0}
     assert _window_quality(legacy, 32) == "degraded-end"
     assert _window_quality(dict(legacy, py_spin_ms_end=100.0), 32) == "ok"
+
+
+def test_window_quality_mid_block():
+    """r14: a burst confined to the MIDDLE of the suite (both endpoint
+    blocks at their floors — the 2026-08-18 262 s / 363 s failure mode)
+    must flag ``degraded-mid``; endpoint verdicts keep precedence, and
+    artifacts without mid keys are classified exactly as before."""
+    from bench import _window_quality
+
+    quiet = {
+        "py_spin_ms_start": 100.0, "py_spin_ms_end": 100.0,
+        "jvm_spin_ms_start_settled": 100.0,
+        "jvm_spin_par_ms_start_settled": 150.0,
+        "jvm_spin_ms_end": 100.0, "jvm_spin_par_ms_end": 150.0,
+    }
+    assert _window_quality(quiet, 32) == "ok"  # no mid keys: unchanged
+    mid_ok = dict(quiet, py_spin_ms_mid=100.0, jvm_spin_ms_mid=100.0,
+                  jvm_spin_par_ms_mid=150.0)
+    assert _window_quality(mid_ok, 32) == "ok"
+    mid_bad = dict(quiet, py_spin_ms_mid=100.0, jvm_spin_ms_mid=100.0,
+                   jvm_spin_par_ms_mid=450.0)   # 4.5x single: burst
+    assert _window_quality(mid_bad, 32) == "degraded-mid"
+    # endpoint degradation outranks the mid flag (same verdicts as r13)
+    assert _window_quality(
+        dict(mid_bad, jvm_spin_par_ms_end=250.0), 32
+    ) == "degraded-end"
