@@ -40,12 +40,23 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp"))
     )
     li = _t(spark, sf_dir, "lineitem")
-    semi = orders.join(
-        li,
-        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
-        "left_semi",
+    # r14 (guide 2.3, aggregate before you shuffle): EXISTS(l_shipdate >
+    # o_orderdate) is exactly MAX(l_shipdate) > o_orderdate, and the max
+    # partially aggregates map-side. At bench SF the old semi join
+    # broadcast ALL of lineitem as the build side (plan: BHJ LeftSemi
+    # BuildRight); now the small date-filtered orders slice is the
+    # broadcast and lineitem reduces to one narrow row per order before
+    # any join. Past broadcast size both forms shuffle on l_orderkey,
+    # where the pre-agg ships ~1/4 the rows at ~1/5 the width. The join
+    # stays 1:1 per order, so the count is the semi-join count.
+    # Paired A/B median 0.79 over 12 pairs; output identical; oracle PASS.
+    li_max = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("mx"))
+    j = orders.join(
+        li_max,
+        (orders.o_orderkey == li_max.l_orderkey)
+        & (li_max.mx > orders.o_orderdate),
     )
-    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+    return j.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
 
 
 @register(
