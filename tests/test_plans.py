@@ -400,13 +400,16 @@ def test_q144_two_exchanges_no_joins(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
-def test_q145_medians_broadcast_back(spark, sf_dir):
-    """MAD outliers: both percentile tables (per-type median, then MAD)
-    join back to the events scan as broadcasts — the fact table is never
-    shuffled for a join."""
+def test_q145_one_exchange_no_joins(spark, sf_dir):
+    """MAD outliers (r14 form): both exact percentiles are window
+    aggregates over the same event_type partitioning and the final
+    groupBy reuses it — ONE shuffle of (event_type, value), zero joins,
+    zero extra scans (the r13 form scanned events three times and
+    broadcast each percentile table back)."""
     plan = plan_of(spark, sf_dir, "q145_mad_outliers")
-    assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan
 
 
 def test_q146_centroids_broadcast(spark, sf_dir):
